@@ -1,0 +1,218 @@
+"""Declarative config schema + validation.
+
+Parity surface: reference ``src/utils/config_validator.py`` (CONFIG_SCHEMA :22,
+recursive validation with unexpected-field pass-through warning :130-154,
+auto-creation of parent dirs for ``*_dir``/``*_file`` paths :114-127).
+Re-designed as a small recursive spec tree instead of parallel dicts.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple, Type, Union
+
+from deepemia_tpu.utils.exceptions import ConfigurationError
+
+log = logging.getLogger("deepemia_tpu.config")
+
+Number = (int, float)
+
+
+@dataclass
+class Field:
+    """One schema node: a typed leaf or a nested mapping."""
+
+    types: Union[Type, Tuple[Type, ...], None] = None
+    required: bool = False
+    default: Any = None
+    children: Optional[Dict[str, "Field"]] = None
+    # any-key mapping whose values all follow this child spec
+    wildcard_child: Optional["Field"] = None
+
+    def is_mapping(self) -> bool:
+        return self.children is not None or self.wildcard_child is not None
+
+
+def _mapping(children=None, wildcard=None, required=False, default=None):
+    return Field(
+        types=dict,
+        required=required,
+        default=default if default is not None else {},
+        children=children,
+        wildcard_child=wildcard,
+    )
+
+
+_HYPERPARAMS = _mapping(
+    wildcard=Field(types=Number),
+)
+
+_ROI = _mapping(
+    children={
+        "x_start_factor": Field(types=Number, default=0.7),
+        "y_start_factor": Field(types=Number, default=0.05),
+        "width_factor": Field(types=Number, default=1.0),
+        "height_factor": Field(types=Number, default=0.05),
+    }
+)
+
+CONFIG_SCHEMA: Dict[str, Field] = {
+    "bucket": Field(types=str, default=""),
+    "paths": _mapping(
+        required=True,
+        children={
+            "split_dir": Field(types=str, required=True),
+            "category_json": Field(types=str, required=True),
+            "eta_file": Field(types=str, default="~/deepemia_tpu/config/eta_data.json"),
+            "logs_dir": Field(types=str, default="~/logs"),
+            "output_dir": Field(types=str, default="~/deepemia_tpu/output"),
+            "local_dataset_root": Field(types=str, default="~"),
+            "dataset_configs_dir": Field(
+                types=str, default="~/deepemia_tpu/config/datasets"
+            ),
+            "checkpoint_dir": Field(types=str, default="~/deepemia_tpu/checkpoints"),
+        },
+    ),
+    "scale_bar_rois": _mapping(wildcard=_ROI),
+    "scalebar_thresholds": _mapping(
+        children={
+            "intensity": Field(types=Number, default=100),
+            "proximity": Field(types=Number, default=100),
+            "merge_gap": Field(types=Number, default=15),
+            "min_line_length": Field(types=Number, default=30),
+            "edge_margin_factor": Field(types=Number, default=0.1),
+        }
+    ),
+    "measure_contrast_distribution": Field(types=bool, default=False),
+    "rcnn_hyperparameters": _mapping(
+        children={
+            "default": _mapping(wildcard=_HYPERPARAMS),
+            "best": _mapping(wildcard=_HYPERPARAMS),
+        }
+    ),
+    "inference_settings": _mapping(
+        children={
+            "use_class_specific_inference": Field(types=bool, default=True),
+            "confidence_mode": Field(types=str, default="auto"),
+            "iterative_stopping": _mapping(wildcard=Field(types=Number)),
+            "class_specific_settings": _mapping(
+                wildcard=_mapping(wildcard=Field(types=(int, float, bool)))
+            ),
+            "ensemble_settings": _mapping(
+                children={
+                    "enabled": Field(types=bool, default=True),
+                    "small_classes_only": Field(types=bool, default=True),
+                    "weights": _mapping(wildcard=Field(types=Number)),
+                }
+            ),
+            "multiscale_settings": _mapping(wildcard=Field(types=(list, float, int))),
+            "use_tile_based_inference": Field(types=bool, default=True),
+            "use_iterative_inference": Field(types=bool, default=False),
+            "tile_settings": _mapping(
+                children={
+                    "tile_size": Field(types=int, default=512),
+                    "overlap_ratio": Field(types=Number, default=0.1),
+                    "upscale_factor": Field(types=Number, default=2.0),
+                    "edge_filter_enabled": Field(types=bool, default=True),
+                    "classes_using_tiling": Field(types=list, default=[0, 1]),
+                    "tile_batch_size": Field(types=int, default=8),
+                }
+            ),
+            "spatial_constraints": _mapping(wildcard=Field(types=dict)),
+        }
+    ),
+    "performance": _mapping(
+        children={
+            "inference_batch_size": Field(types=int, default=1),
+            "measurement_batch_size": Field(types=int, default=3),
+            "max_worker_threads": Field(types=int, default=3),
+            "enable_parallel_image_loading": Field(types=bool, default=True),
+            "use_bf16": Field(types=bool, default=True),
+            "stream_measurements_to_csv": Field(types=bool, default=True),
+            "cleanup_individual_masks": Field(types=bool, default=True),
+            "donate_buffers": Field(types=bool, default=True),
+        }
+    ),
+}
+
+
+def _validate_node(name: str, spec: Field, value: Any, out: Dict[str, Any]) -> Any:
+    if value is None:
+        if spec.required:
+            raise ConfigurationError(f"Missing required config field: {name}")
+        if spec.is_mapping():
+            value = {}  # recurse below so child defaults are filled
+        else:
+            return spec.default
+
+    # bool is an int subclass: reject bools unless bool is explicitly allowed
+    allowed = spec.types if isinstance(spec.types, tuple) else (spec.types,)
+    if (
+        isinstance(value, bool)
+        and spec.types is not None
+        and bool not in allowed
+        and any(t in (int, float) for t in allowed)
+    ):
+        raise ConfigurationError(
+            f"Config field {name}: expected number, got bool {value!r}"
+        )
+    if spec.types is not None and not isinstance(value, spec.types):
+        raise ConfigurationError(
+            f"Config field {name}: expected {spec.types}, got "
+            f"{type(value).__name__} ({value!r})"
+        )
+
+    if not spec.is_mapping():
+        return value
+
+    result: Dict[str, Any] = {}
+    children = spec.children or {}
+    for key, child_spec in children.items():
+        result[key] = _validate_node(f"{name}.{key}", child_spec, value.get(key), result)
+    for key, val in value.items():
+        if key in children:
+            continue
+        if spec.wildcard_child is not None:
+            result[key] = _validate_node(
+                f"{name}.{key}", spec.wildcard_child, val, result
+            )
+        else:
+            # pass-through with warning (reference config_validator.py:148-154)
+            log.warning("Unexpected config field %s.%s — passing through", name, key)
+            result[key] = val
+    return result
+
+
+def validate_config(
+    raw: Dict[str, Any], create_dirs: bool = True
+) -> Dict[str, Any]:
+    """Validate a raw config dict against CONFIG_SCHEMA.
+
+    Returns the validated config with defaults filled. Unknown fields pass
+    through with a warning. When ``create_dirs``, parent directories for any
+    ``paths.*_dir`` / ``paths.*_file`` entries are created (reference
+    config_validator.py:114-127).
+    """
+    if not isinstance(raw, dict):
+        raise ConfigurationError("Config root must be a mapping")
+
+    validated: Dict[str, Any] = {}
+    for key, spec in CONFIG_SCHEMA.items():
+        validated[key] = _validate_node(key, spec, raw.get(key), validated)
+    for key, val in raw.items():
+        if key not in CONFIG_SCHEMA:
+            log.warning("Unexpected top-level config field %s — passing through", key)
+            validated[key] = val
+
+    if create_dirs:
+        for key, val in validated.get("paths", {}).items():
+            if not isinstance(val, str):
+                continue
+            p = os.path.expanduser(val)
+            target = p if key.endswith("_dir") else os.path.dirname(p)
+            if target:
+                os.makedirs(target, exist_ok=True)
+
+    return validated

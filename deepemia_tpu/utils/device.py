@@ -1,0 +1,94 @@
+"""Accelerator preflight + mesh helpers.
+
+Parity surface: reference ``src/utils/gpu_check.py`` (CUDA detection :29-47,
+interactive continue-without-GPU gate :64-91, device info logging :110-133) —
+re-imagined for JAX: detects TPU/GPU/CPU backends, reports per-device HBM, and
+builds ``jax.sharding.Mesh`` objects for the parallel layer.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Tuple
+
+log = logging.getLogger("deepemia_tpu.device")
+
+
+def backend_info() -> dict:
+    import jax
+
+    devices = jax.devices()
+    info = {
+        "platform": devices[0].platform if devices else "none",
+        "num_devices": len(devices),
+        "devices": [str(d) for d in devices],
+    }
+    try:
+        m = devices[0].memory_stats() or {}
+        if "bytes_limit" in m:
+            info["hbm_gb"] = m["bytes_limit"] / 1e9
+    except Exception:
+        pass
+    return info
+
+
+def check_accelerator_availability(
+    require_accelerator: bool = False, interactive: bool = True
+) -> bool:
+    """TPU/GPU preflight. Returns True when an accelerator backend is present.
+
+    On CPU-only: if ``require_accelerator`` raise; else if ``interactive``
+    prompt the user to continue (reference gpu_check.py:64-91); else continue
+    with a warning.
+    """
+    info = backend_info()
+    log_device_info(info)
+    if info["platform"] not in ("cpu", "none"):
+        return True
+    if require_accelerator:
+        from deepemia_tpu.utils.exceptions import PipelineError
+
+        raise PipelineError(
+            "No TPU/GPU backend available and this task requires one",
+            stage="preflight",
+        )
+    if interactive and os.isatty(0):  # pragma: no cover - interactive only
+        resp = input(
+            "No accelerator detected — computation will run on CPU and may be "
+            "10-50x slower. Continue? [y/N] "
+        )
+        if resp.strip().lower() not in ("y", "yes"):
+            raise SystemExit(1)
+    else:
+        log.warning("No accelerator detected; continuing on CPU")
+    return False
+
+
+def log_device_info(info: Optional[dict] = None) -> None:
+    info = info or backend_info()
+    log.info(
+        "JAX backend: %s with %d device(s)%s",
+        info["platform"],
+        info["num_devices"],
+        f", HBM {info['hbm_gb']:.1f} GB/device" if "hbm_gb" in info else "",
+    )
+
+
+def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None):
+    """Create a device mesh. Default: 1-D data mesh over all local devices."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if axes is None:
+        return Mesh(np.array(devices), ("data",))
+    names = tuple(n for n, _ in axes)
+    sizes = tuple(s for _, s in axes)
+    total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(
+            f"Mesh {dict(axes)} needs {total} devices, have {len(devices)}"
+        )
+    return Mesh(np.array(devices[:total]).reshape(sizes), names)

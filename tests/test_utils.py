@@ -1,0 +1,95 @@
+"""Tests for ETA tracking, safe file ops, storage, exceptions."""
+
+import os
+from pathlib import Path
+
+import pytest
+
+from deepemia_tpu.utils.eta import estimate_eta, read_eta_data, update_eta_data
+from deepemia_tpu.utils.exceptions import ConfigurationError, PipelineError
+from deepemia_tpu.utils.safe_ops import safe_remove_files, validate_path_safety
+from deepemia_tpu.utils.storage import LocalStorage, StorageError, with_retry
+
+
+def test_exception_formatting():
+    e = PipelineError("boom", stage="inference", details={"image": "a.tif"})
+    s = str(e)
+    assert "boom" in s and "inference" in s and "a.tif" in s
+    assert isinstance(ConfigurationError("x"), PipelineError)
+
+
+def test_eta_half_weight_update(tmp_path):
+    f = str(tmp_path / "eta.json")
+    data = read_eta_data(f)
+    assert data["inference"]["average_time_per_image"] == 10.0
+    update_eta_data(f, "prepare", 40.0)
+    data = read_eta_data(f)
+    assert data["prepare"]["average_time"] == pytest.approx((20.0 + 40.0) / 2)
+    update_eta_data(f, "inference", 30.0, num_images=10)
+    data = read_eta_data(f)
+    assert data["inference"]["average_time_per_image"] == pytest.approx(
+        (10.0 + 3.0) / 2
+    )
+    eta = estimate_eta(f, "inference", num_images=4)
+    assert eta == pytest.approx(6.5 * 4 * 1.1)
+
+
+def test_safe_ops_blocks_traversal(tmp_path):
+    inside = tmp_path / "keep" / "x.txt"
+    inside.parent.mkdir()
+    inside.write_text("hi")
+    outside = tmp_path.parent / "escape.txt"
+    with pytest.raises(ValueError):
+        validate_path_safety(str(outside), [str(tmp_path)])
+    removed = safe_remove_files(
+        [str(inside), str(outside)], allowed_bases=[str(tmp_path)]
+    )
+    assert [p.name for p in removed] == ["x.txt"]
+    assert not inside.exists()
+
+
+def test_local_storage_roundtrip(tmp_path):
+    store = LocalStorage(tmp_path / "bucket")
+    ds = tmp_path / "ds"
+    (ds / "sub").mkdir(parents=True)
+    (ds / "a.tif").write_text("img")
+    (ds / "sub" / "b.json").write_text("{}")
+    store.upload_tree(ds, "DATASET/myds")
+    out = tmp_path / "restored"
+    store.download_dataset("myds", out)
+    assert (out / "a.tif").read_text() == "img"
+    assert (out / "sub" / "b.json").exists()
+    with pytest.raises(StorageError):
+        store.download_dataset("missing", tmp_path / "x")
+
+
+def test_upload_inference_results_selective(tmp_path):
+    store = LocalStorage(tmp_path / "bucket")
+    res = tmp_path / "results"
+    res.mkdir()
+    (res / "measurements_results.csv").write_text("csv")
+    (res / "overlay.png").write_text("png")
+    (res / "junk.bin").write_text("junk")
+    uploaded = store.upload_inference_results(res, timestamp="TS")
+    names = {p.name for p in uploaded}
+    assert names == {"measurements_results.csv", "overlay.png"}
+    archived = list((tmp_path / "bucket" / "Archive" / "TS").iterdir())
+    assert any(p.name == "upload_summary.txt" for p in archived)
+
+
+def test_with_retry_eventual_success():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+
+    with_retry(flaky, attempts=3, base_delay=0.0)
+    assert calls["n"] == 2
+    with pytest.raises(StorageError):
+        with_retry(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            attempts=2,
+            base_delay=0.0,
+        )
