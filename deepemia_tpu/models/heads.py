@@ -1,0 +1,195 @@
+"""RoI box + mask heads with statically-shaped inference post-processing.
+
+Re-implements the Detectron2 StandardROIHeads / FastRCNNOutputLayers /
+MaskRCNNConvUpsampleHead the reference's ``DefaultPredictor`` runs on GPU
+(models.py:134-160): RoIAlign'd features -> 2-FC box head -> class scores +
+class-specific box deltas -> per-class NMS -> top-K detections -> mask head
+on the kept boxes. Dynamic filtering is replaced by score masking + padded
+top-k so the whole chain is one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepemia_tpu.config.constants import StaticShapes
+from deepemia_tpu.models.roi_align import multilevel_roi_align
+from deepemia_tpu.ops import boxes as box_ops
+
+
+class BoxHead(nn.Module):
+    """Flatten -> FC 1024 -> FC 1024 (Detectron2 FastRCNNConvFCHead)."""
+
+    fc_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [N,7,7,C]
+        n = x.shape[0]
+        # Detectron2 flattens NCHW (C,H,W) order; match it so converted FC
+        # weights line up.
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc2")(x))
+        return x
+
+
+class BoxPredictor(nn.Module):
+    """Class logits (num_classes+1, bg last) + class-specific deltas."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """4 convs + deconv + 1x1 per-class mask logits (28x28)."""
+
+    num_classes: int
+    conv_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [N,14,14,C]
+        for i in range(4):
+            x = nn.relu(
+                nn.Conv(
+                    self.conv_dim,
+                    (3, 3),
+                    padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype,
+                    name=f"mask_fcn{i + 1}",
+                )(x)
+            )
+        x = nn.relu(
+            nn.ConvTranspose(
+                self.conv_dim,
+                (2, 2),
+                strides=(2, 2),
+                dtype=self.dtype,
+                name="deconv",
+            )(x)
+        )
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="predictor")(x)
+
+
+class Detections(NamedTuple):
+    """Padded per-image detections ([D] rows, valid mask)."""
+
+    boxes: jnp.ndarray  # [D,4]
+    scores: jnp.ndarray  # [D]
+    classes: jnp.ndarray  # [D] int32
+    valid: jnp.ndarray  # [D] bool
+    mask_probs: jnp.ndarray  # [D,28,28] sigmoid probabilities
+
+
+def fast_rcnn_inference(
+    scores: jnp.ndarray,
+    deltas: jnp.ndarray,
+    proposals: jnp.ndarray,
+    proposal_valid: jnp.ndarray,
+    image_hw,
+    score_threshold: float,
+    nms_threshold: float = 0.5,
+    max_detections: int = StaticShapes.MAX_DETECTIONS,
+):
+    """Per-class decode + threshold + NMS + top-K, fully padded.
+
+    scores [N,C+1] raw logits, deltas [N,C*4], proposals [N,4] ->
+    (boxes [D,4], scores [D], classes [D], valid [D]).
+    Matches Detectron2 fast_rcnn_inference_single_image semantics.
+    """
+    n, num_classes = scores.shape[0], scores.shape[1] - 1
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)[:, :num_classes]
+    deltas = deltas.reshape(n, num_classes, 4).astype(jnp.float32)
+    boxes = box_ops.apply_deltas(proposals[:, None, :], deltas)  # [N,C,4]
+    boxes = box_ops.clip_boxes(boxes, image_hw[0], image_hw[1])
+
+    flat_boxes = boxes.reshape(n * num_classes, 4)
+    flat_scores = probs.reshape(n * num_classes)
+    flat_classes = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    flat_valid = (
+        (flat_scores > score_threshold)
+        & jnp.repeat(proposal_valid, num_classes)
+    )
+
+    # keep the NMS matrix small: restrict to the top candidates first
+    k = min(max_detections * 8, flat_scores.shape[0])
+    cand_scores = jnp.where(flat_valid, flat_scores, -jnp.inf)
+    top_scores, idx = jax.lax.top_k(cand_scores, k)
+    cand_boxes = flat_boxes[idx]
+    cand_classes = flat_classes[idx]
+    cand_valid = jnp.isfinite(top_scores)
+
+    keep = box_ops.batched_nms_mask(
+        cand_boxes, top_scores, cand_classes, nms_threshold, valid=cand_valid
+    )
+    final_scores = jnp.where(keep, top_scores, -jnp.inf)
+    top, didx = jax.lax.top_k(final_scores, max_detections)
+    return (
+        cand_boxes[didx],
+        jnp.where(jnp.isfinite(top), top, 0.0),
+        cand_classes[didx],
+        jnp.isfinite(top),
+    )
+
+
+class ROIHeads(nn.Module):
+    """Box + mask heads over FPN features for one image."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.box_head = BoxHead(dtype=self.dtype)
+        self.box_predictor = BoxPredictor(self.num_classes, dtype=self.dtype)
+        self.mask_head = MaskHead(self.num_classes, dtype=self.dtype)
+
+    def box_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
+        pooled = multilevel_roi_align(features, boxes, output_size=7)
+        return self.box_predictor(self.box_head(pooled.astype(self.dtype)))
+
+    def mask_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
+        pooled = multilevel_roi_align(features, boxes, output_size=14)
+        return self.mask_head(pooled.astype(self.dtype))  # [D,28,28,C]
+
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        proposals: jnp.ndarray,
+        proposal_valid: jnp.ndarray,
+        image_hw,
+        score_threshold: float = 0.05,
+        nms_threshold: float = 0.5,
+        max_detections: int = StaticShapes.MAX_DETECTIONS,
+    ) -> Detections:
+        scores, deltas = self.box_forward(features, proposals)
+        b, s, c, v = fast_rcnn_inference(
+            scores,
+            deltas,
+            proposals,
+            proposal_valid,
+            image_hw,
+            score_threshold,
+            nms_threshold,
+            max_detections,
+        )
+        mask_logits = self.mask_forward(features, b)  # [D,28,28,C]
+        sel = jax.nn.one_hot(c, self.num_classes, dtype=mask_logits.dtype)
+        m = jnp.einsum("dhwc,dc->dhw", mask_logits, sel)
+        return Detections(
+            boxes=b,
+            scores=s,
+            classes=c,
+            valid=v,
+            mask_probs=jax.nn.sigmoid(m.astype(jnp.float32)),
+        )

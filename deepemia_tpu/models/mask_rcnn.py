@@ -1,0 +1,111 @@
+"""Mask R-CNN R50/R101-FPN: the flagship model, one jit-able forward.
+
+TPU-native replacement for the Detectron2 ``DefaultPredictor`` stack the
+reference builds in models.py:134-160 and drives from inference.py. The whole
+pipeline — normalize, backbone, FPN, RPN proposal selection, RoI heads,
+per-class NMS, mask logits — is a single statically-shaped program; the only
+host interaction is feeding the image batch and reading padded detection
+tensors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepemia_tpu.config.constants import StaticShapes
+from deepemia_tpu.models import anchors as anchor_lib
+from deepemia_tpu.models.fpn import FPN
+from deepemia_tpu.models.heads import Detections, ROIHeads
+from deepemia_tpu.models.resnet import ResNet
+from deepemia_tpu.models.rpn import RPNHead, select_proposals
+from deepemia_tpu.ops.image import PIXEL_MEAN_BGR, PIXEL_STD_BGR
+
+
+class MaskRCNN(nn.Module):
+    """R{depth}-FPN Mask R-CNN.
+
+    Input convention: [H,W,3] float32 raw BGR pixels (0-255), static H/W
+    divisible by 64. Outputs padded ``Detections``.
+    """
+
+    depth: int = 50
+    num_classes: int = 2
+    dtype: Any = jnp.float32  # compute dtype (bfloat16 on TPU)
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
+        self.fpn = FPN(dtype=self.dtype)
+        self.rpn_head = RPNHead(dtype=self.dtype)
+        self.roi_heads = ROIHeads(self.num_classes, dtype=self.dtype)
+
+    def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+        std = jnp.asarray(PIXEL_STD_BGR, jnp.float32)
+        return ((image.astype(jnp.float32) - mean) / std).astype(self.dtype)
+
+    def features(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """[H,W,3] -> {p2..p6: [h,w,256]} (batch dim added/removed inside)."""
+        x = self.normalize(image)[None]
+        feats = self.fpn(self.backbone(x))
+        return {k: v[0] for k, v in feats.items()}
+
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        score_threshold: float = 0.05,
+        nms_threshold: float = 0.5,
+        proposal_topk: int = StaticShapes.POST_NMS_TOPK_TEST,
+        max_detections: int = StaticShapes.MAX_DETECTIONS,
+    ) -> Detections:
+        h, w = image.shape[0], image.shape[1]
+        feats = self.features(image)
+        logits, regs = self.rpn_head({k: v[None] for k, v in feats.items()})
+        feat_shapes = {k: (v.shape[0], v.shape[1]) for k, v in feats.items()}
+        anchors = anchor_lib.all_anchors(feat_shapes)
+        proposals = select_proposals(
+            {k: v[0] for k, v in logits.items()},
+            {k: v[0] for k, v in regs.items()},
+            anchors,
+            (h, w),
+            post_nms_topk=proposal_topk,
+        )
+        return self.roi_heads(
+            {k: feats[k] for k in ("p2", "p3", "p4", "p5")},
+            proposals.boxes,
+            proposals.valid,
+            (h, w),
+            score_threshold=score_threshold,
+            nms_threshold=nms_threshold,
+            max_detections=max_detections,
+        )
+
+
+def build_model(
+    backbone: str = "R50",
+    num_classes: int = 2,
+    use_bf16: bool = True,
+) -> MaskRCNN:
+    """Model factory keyed the way the reference keys checkpoints
+    (train_model.py:230-238 suffixes r50/r101)."""
+    depth = 101 if "101" in backbone else 50
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    return MaskRCNN(depth=depth, num_classes=num_classes, dtype=dtype)
+
+
+def init_params(model: MaskRCNN, image_hw: Tuple[int, int] = (512, 512), seed: int = 0):
+    """Random-init parameters (dev/test path; production uses converted or
+    trained checkpoints)."""
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((*image_hw, 3), jnp.float32)
+    return model.init(rng, dummy)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("score_threshold",))
+def predict(model: MaskRCNN, params, image, score_threshold: float = 0.05):
+    """Jitted single-image forward (compile cache keyed on image shape)."""
+    return model.apply(params, image, score_threshold=score_threshold)

@@ -1,0 +1,124 @@
+"""RoIAlign (aligned=True) as a vectorized XLA gather program.
+
+Replaces Detectron2's CUDA ``ROIAlign`` op (implicit in every reference
+``predictor(image)`` call, e.g. inference.py:2107). Semantics match
+ROIAlignV2: half-pixel offset (``aligned=True``), bilinear sampling on a
+fixed ``sampling_ratio × sampling_ratio`` sub-grid per output bin, average
+pooled. The reference op's adaptive sampling ratio (ceil(roi/out)) is a
+dynamic shape — here the ratio is fixed (default 2, the Detectron2 training
+value), the standard static-shape substitution (SURVEY.md §7 'Hard parts').
+
+Multi-level assignment follows the FPN paper rule used by Detectron2:
+level = floor(4 + log2(sqrt(area)/224)) clamped to [2,5]; each box is pooled
+from every level and the right one selected by mask — 4 gathers of which 3
+are discarded, but no dynamic partitioning, so the whole head stays one
+compiled program. (A Pallas scalar-prefetch kernel that gathers only the
+assigned level is the planned optimization.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from deepemia_tpu.models.anchors import STRIDES
+
+
+def roi_align_level(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    stride: int,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign from a single feature map.
+
+    features [H,W,C] (one image), boxes [N,4] XYXY in image coords ->
+    [N, output_size, output_size, C].
+    """
+    h, w, c = features.shape
+    n = boxes.shape[0]
+    s = sampling_ratio
+    p = output_size * s  # sample grid edge
+
+    scale = 1.0 / stride
+    # aligned=True: continuous coords, half-pixel offset
+    x0 = boxes[:, 0] * scale - 0.5
+    y0 = boxes[:, 1] * scale - 0.5
+    x1 = boxes[:, 2] * scale - 0.5
+    y1 = boxes[:, 3] * scale - 0.5
+    bw = x1 - x0
+    bh = y1 - y0
+
+    # sample point centers: bin b, sub-sample k -> (b + (k+0.5)/s) / out
+    grid = (jnp.arange(p, dtype=jnp.float32) + 0.5) / p  # [P]
+    sx = x0[:, None] + grid[None, :] * bw[:, None]  # [N,P]
+    sy = y0[:, None] + grid[None, :] * bh[:, None]  # [N,P]
+
+    def bilinear(feat, xs, ys):
+        """feat [H,W,C]; xs,ys [P] -> [P,P,C] sampled at (ys[i], xs[j])."""
+        xi0 = jnp.floor(xs).astype(jnp.int32)
+        yi0 = jnp.floor(ys).astype(jnp.int32)
+        fx = xs - xi0
+        fy = ys - yi0
+        xi0c = jnp.clip(xi0, 0, w - 1)
+        xi1c = jnp.clip(xi0 + 1, 0, w - 1)
+        yi0c = jnp.clip(yi0, 0, h - 1)
+        yi1c = jnp.clip(yi0 + 1, 0, h - 1)
+        # out-of-range samples contribute 0 (CUDA op zeroes them)
+        vx = (xs >= -1.0) & (xs <= w)
+        vy = (ys >= -1.0) & (ys <= h)
+
+        r0 = feat[yi0c]  # [P,W,C]
+        r1 = feat[yi1c]
+        f00 = r0[:, xi0c]  # [P,P,C]
+        f01 = r0[:, xi1c]
+        f10 = r1[:, xi0c]
+        f11 = r1[:, xi1c]
+        wx0 = (1.0 - fx)[None, :, None]
+        wx1 = fx[None, :, None]
+        wy0 = (1.0 - fy)[:, None, None]
+        wy1 = fy[:, None, None]
+        out = (f00 * wx0 + f01 * wx1) * wy0 + (f10 * wx0 + f11 * wx1) * wy1
+        return out * (vy[:, None, None] & vx[None, :, None])
+
+    sampled = jax.vmap(lambda xs, ys: bilinear(features, xs, ys))(sx, sy)
+    # [N,P,P,C] -> average-pool s×s -> [N,out,out,C]
+    out = sampled.reshape(n, output_size, s, output_size, s, c).mean(axis=(2, 4))
+    return out
+
+
+def assign_fpn_levels(
+    boxes: jnp.ndarray, min_level: int = 2, max_level: int = 5
+) -> jnp.ndarray:
+    """[N,4] -> [N] int32 FPN level per box (FPN paper eq. 1, canonical
+    level 4 at scale 224 — Detectron2 default)."""
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
+    scale = jnp.sqrt(w * h)
+    lvl = jnp.floor(4.0 + jnp.log2(jnp.maximum(scale, 1e-6) / 224.0))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    features: Dict[str, jnp.ndarray],
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
+) -> jnp.ndarray:
+    """RoIAlign over FPN levels with per-box level assignment.
+
+    features {level: [H,W,C]}, boxes [N,4] -> [N,out,out,C].
+    """
+    lvl = assign_fpn_levels(boxes, 2, 2 + len(levels) - 1)
+    out = None
+    for i, name in enumerate(levels):
+        pooled = roi_align_level(
+            features[name], boxes, STRIDES[name], output_size, sampling_ratio
+        )
+        sel = (lvl == (2 + i)).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out

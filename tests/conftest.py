@@ -3,13 +3,21 @@ tests run on a fake mesh, per SURVEY.md §4), hermetic framework home."""
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import anywhere in the test process. Force — the
+# ambient environment points JAX_PLATFORMS at the tunneled TPU ('axon'), and
+# running unit tests over the tunnel makes every eager op a network round-trip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize force-registers the tunneled TPU backend and
+# overrides JAX_PLATFORMS; config.update after import wins.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
