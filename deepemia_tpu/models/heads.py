@@ -75,6 +75,7 @@ class MaskHead(nn.Module):
                 self.conv_dim,
                 (2, 2),
                 strides=(2, 2),
+                transpose_kernel=True,  # true transposed conv (torch parity)
                 dtype=self.dtype,
                 name="deconv",
             )(x)
