@@ -1,0 +1,243 @@
+"""Tile-based inference engine: one compiled program per image geometry.
+
+Re-architecture of the reference hot path (tile_based_inference_pipeline,
+inference.py:2299-2485 + run_class_specific_inference :1353-1461):
+
+  reference                          | this engine
+  -----------------------------------+----------------------------------------
+  predictor() once PER CLASS per     | model forward ONCE per tile; per-class
+  tile (cfg threshold rebuild each   | confidence/NMS thresholds applied as
+  time, inference.py:1377-1390)      | post-hoc masking on the same outputs
+  host numpy tile slicing + cv2      | static tile grid, one device gather,
+  upscale per tile (:2373-2382)      | on-device jax.image.resize
+  per-tile host->GPU->host sync      | everything stays on device; one padded
+  (.to("cpu") at :1401)              | InstanceSet leaves per image
+  O(n²) python mask IoU dedup        | low-res mask paste + MXU matmul IoU +
+  (:2552-2677)                       | greedy scan under fori_loop
+
+The per-class loop disappears because Mask R-CNN's forward is class-agnostic:
+class-specific behavior in the reference is only thresholding + NMS params,
+which are data here, not compile-time constants.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepemia_tpu.config.constants import StaticShapes, TileDefaults
+from deepemia_tpu.inference.detections import (
+    InstanceSet,
+    concat_instances,
+    dedup_by_mask_iou,
+    filter_instances,
+)
+from deepemia_tpu.models.heads import Detections
+from deepemia_tpu.models.mask_rcnn import MaskRCNN
+from deepemia_tpu.ops import boxes as box_ops
+from deepemia_tpu.ops import masks as mask_ops
+from deepemia_tpu.ops import tiles as tile_ops
+from deepemia_tpu.ops.image import adaptive_threshold_scale, image_quality_score
+
+log = logging.getLogger("deepemia_tpu.engine")
+
+
+class ClassSettings(NamedTuple):
+    """Per-class runtime thresholds, padded to num_classes (data, not
+    compile-time constants — reference class_specific_settings,
+    config/config.yaml:76-87)."""
+
+    confidence: jnp.ndarray  # [C]
+    nms_iou: jnp.ndarray  # [C]
+    min_size: jnp.ndarray  # [C] pixels (area)
+
+
+def class_settings_from_config(
+    inference_settings: Dict[str, Any], num_classes: int
+) -> ClassSettings:
+    css = inference_settings.get("class_specific_settings", {})
+    conf = np.full((num_classes,), 0.5, np.float32)
+    nms = np.full((num_classes,), 0.5, np.float32)
+    min_size = np.zeros((num_classes,), np.float32)
+    for c in range(num_classes):
+        s = css.get(f"class_{c}", {})
+        conf[c] = s.get("confidence_threshold", 0.5)
+        nms[c] = s.get("iou_threshold", 0.5)
+        min_size[c] = s.get("min_size", 0)
+    return ClassSettings(jnp.asarray(conf), jnp.asarray(nms), jnp.asarray(min_size))
+
+
+def detections_to_instances(det: Detections) -> InstanceSet:
+    return InstanceSet(
+        boxes=det.boxes,
+        scores=det.scores,
+        classes=det.classes,
+        valid=det.valid,
+        mask_probs=det.mask_probs,
+    )
+
+
+def apply_class_thresholds(
+    inst: InstanceSet,
+    settings: ClassSettings,
+    quality_scale: jnp.ndarray,
+) -> InstanceSet:
+    """Confidence gate (auto-scaled by image quality, reference
+    adaptive_confidence_threshold inference.py:288-335) + min-area gate."""
+    conf = settings.confidence[inst.classes] * quality_scale
+    keep = inst.scores >= conf
+    w = jnp.maximum(inst.boxes[:, 2] - inst.boxes[:, 0], 0.0)
+    h = jnp.maximum(inst.boxes[:, 3] - inst.boxes[:, 1], 0.0)
+    area = inst.mask_probs.mean(axis=(1, 2)) * w * h  # ~pixel area
+    keep &= area >= settings.min_size[inst.classes]
+    return filter_instances(inst, keep)
+
+
+class TileEngine:
+    """Compiles and runs the whole per-image pipeline for one model.
+
+    One ``TileEngine`` wraps (model, params). ``infer`` dispatches to a
+    compiled program cached per (H, W) image geometry.
+    """
+
+    def __init__(
+        self,
+        model: MaskRCNN,
+        params,
+        tile_size: int = TileDefaults.TILE_SIZE,
+        overlap_ratio: float = TileDefaults.OVERLAP_RATIO,
+        upscale_factor: float = TileDefaults.UPSCALE_FACTOR,
+        edge_filter: bool = True,
+        dedup_iou: float = 0.4,
+        capacity: int = StaticShapes.MAX_INSTANCES_PER_IMAGE,
+        use_tiling: bool = True,
+        mask_threshold: float = 0.5,
+        dedup_stride: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.tile_size = tile_size
+        self.overlap_ratio = overlap_ratio
+        self.upscale_factor = upscale_factor
+        self.edge_filter = edge_filter
+        self.dedup_iou = dedup_iou
+        self.capacity = capacity
+        self.use_tiling = use_tiling
+        self.mask_threshold = mask_threshold
+        self.dedup_stride = dedup_stride
+        self._compiled: Dict[Tuple[int, int], Any] = {}
+
+    # -- single forward on a fixed-size input -------------------------------
+
+    def _forward(self, params, image: jnp.ndarray) -> InstanceSet:
+        det = self.model.apply(params, image, score_threshold=0.05)
+        return detections_to_instances(det)
+
+    # -- the traced whole-image program ------------------------------------
+
+    def _build(self, h: int, w: int):
+        ts = self.tile_size
+        up = self.upscale_factor
+        ts_up = int(round(ts * up))
+        # model inputs must be /64 for FPN p6
+        ts_up -= ts_up % 64
+        grid = tile_ops.compute_tile_grid(h, w, ts, self.overlap_ratio)
+        # full-image pass at /64-padded geometry
+        fh = h + (-h) % 64
+        fw = w + (-w) % 64
+
+        def program(params, image, settings: ClassSettings):
+            quality = image_quality_score(image)
+            qscale = adaptive_threshold_scale(quality)
+
+            padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
+            full = self._forward(params, padded)
+
+            parts = [full]
+            if self.use_tiling and grid.num_tiles > 1:
+                tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
+
+                def per_tile(args):
+                    tile, offset = args
+                    tile_up = jax.image.resize(
+                        tile.astype(jnp.float32), (ts_up, ts_up, 3), "linear"
+                    )
+                    inst = self._forward(params, tile_up)
+                    scale = ts_up / ts
+                    if self.edge_filter:
+                        local = inst.boxes / scale  # tile-local, tile units
+                        edge = mask_ops.is_edge_mask(
+                            local, ts, self.overlap_ratio
+                        )
+                        # never drop instances at the global image border:
+                        # their tile edge IS the image edge (the reference
+                        # drops them — a deliberate fix, SURVEY.md Q-class)
+                        gx0 = local[:, 0] + offset[0]
+                        gy0 = local[:, 1] + offset[1]
+                        gx1 = local[:, 2] + offset[0]
+                        gy1 = local[:, 3] + offset[1]
+                        at_border = (
+                            (gx0 <= 2.0) | (gy0 <= 2.0) | (gx1 >= w - 2.0) | (gy1 >= h - 2.0)
+                        )
+                        inst = filter_instances(inst, ~edge | at_border)
+                    gboxes = tile_ops.tile_boxes_to_global(
+                        inst.boxes[None], offset[None], scale=scale
+                    )[0]
+                    return inst._replace(boxes=gboxes)
+
+                offsets = jnp.asarray(grid.offsets, jnp.float32)
+                tile_insts = jax.lax.map(per_tile, (tiles, offsets))
+                # flatten [T,D,...] -> [T*D,...]
+                flat = InstanceSet(
+                    boxes=tile_insts.boxes.reshape(-1, 4),
+                    scores=tile_insts.scores.reshape(-1),
+                    classes=tile_insts.classes.reshape(-1),
+                    valid=tile_insts.valid.reshape(-1),
+                    mask_probs=tile_insts.mask_probs.reshape(
+                        -1, *tile_insts.mask_probs.shape[2:]
+                    ),
+                )
+                parts.append(flat)
+
+            merged = concat_instances(parts, self.capacity)
+            merged = apply_class_thresholds(merged, settings, qscale)
+            # cross-source dedup: per-class NMS threshold = max(class nms,
+            # tile-dedup threshold is the stricter reference behavior at 0.4)
+            merged = dedup_by_mask_iou(
+                merged,
+                (h, w),
+                self.dedup_iou,
+                stride=self.dedup_stride,
+                class_aware=True,
+            )
+            return merged, quality
+
+        return jax.jit(program)
+
+    def infer(
+        self, image: np.ndarray, settings: ClassSettings
+    ) -> Tuple[InstanceSet, float]:
+        """Run the compiled pipeline for an [H,W,3] uint8/float BGR image."""
+        h, w = int(image.shape[0]), int(image.shape[1])
+        key = (h, w)
+        if key not in self._compiled:
+            log.info("Compiling tile pipeline for %dx%d image", h, w)
+            self._compiled[key] = self._build(h, w)
+        inst, quality = self._compiled[key](
+            self.params, jnp.asarray(image, jnp.float32), settings
+        )
+        return inst, float(quality)
+
+
+def cross_class_dedup(
+    inst: InstanceSet, image_hw, iou_threshold: float = 0.7, stride: int = 8
+) -> InstanceSet:
+    """Class-agnostic dedup pass (reference inference.py:859-864 at IoU 0.7)."""
+    return dedup_by_mask_iou(
+        inst, image_hw, iou_threshold, stride=stride, class_aware=False
+    )

@@ -1,0 +1,343 @@
+"""End-to-end inference pipeline: images -> RLE CSV + measurements CSV + PNGs.
+
+Parity surface: reference ``run_inference`` (inference.py:499-1350) — the
+orchestrator behind ``main.py --task inference``:
+settings extraction (:514-577), model auto-detect R50/R101 (:610-647),
+per-image scale bar -> tile inference -> cross-class dedup -> spatial
+constraints (:746-912), RLE CSV ``R50_flip_results.csv`` (:957-959, name kept
+verbatim including its model-agnostic quirk Q8), measurements phase + overlay
+viz (:966-1300), color legend (:1303-1314), threaded image loading
+(:133-167), per-image failure isolation (:928-942), ETA updates.
+
+Differences by design: the per-class predictor loop is gone (class thresholds
+are data — see engine.py); masks stay on device until the final RLE/PNG
+export; measurement math runs on device.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from deepemia_tpu.config import get_config
+from deepemia_tpu.config.constants import StaticShapes
+from deepemia_tpu.data.datasets import read_dataset_info, register_datasets
+from deepemia_tpu.data.models import get_trained_model_paths, load_model
+from deepemia_tpu.inference import measure as measure_lib
+from deepemia_tpu.inference import viz
+from deepemia_tpu.inference.constraints import apply_spatial_constraints, spec_from_config
+from deepemia_tpu.inference.detections import (
+    InstanceSet,
+    bucket_size,
+    compact_instances,
+    slice_instances,
+)
+from deepemia_tpu.inference.engine import (
+    ClassSettings,
+    TileEngine,
+    class_settings_from_config,
+    cross_class_dedup,
+)
+from deepemia_tpu.inference.ensemble import run_ensemble, weights_from_config
+from deepemia_tpu.inference.scalebar import detect_scale_bar
+from deepemia_tpu.ops.rle import rle_encode, rle_to_string
+from deepemia_tpu.utils.eta import update_eta_data
+
+log = logging.getLogger("deepemia_tpu.pipeline")
+
+IMAGE_EXTS = (".tif", ".tiff", ".png", ".jpg", ".jpeg", ".bmp")
+
+
+def is_image_file(name: str) -> bool:
+    return name.lower().endswith(IMAGE_EXTS)
+
+
+def _load_image(path: str) -> Optional[np.ndarray]:
+    img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, TIFF handled by cv2
+    return img
+
+
+class InferencePipeline:
+    """Builds engines once, then processes a folder of micrographs."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        split_dir: str,
+        output_dir: Optional[str] = None,
+        config: Optional[dict] = None,
+        use_bf16: Optional[bool] = None,
+    ):
+        self.dataset_name = dataset_name
+        self.config = config or get_config(dataset_name)
+        self.split_dir = os.path.expanduser(split_dir)
+        paths = self.config["paths"]
+        self.output_dir = Path(
+            os.path.expanduser(output_dir or paths["output_dir"])
+        )
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.inf = self.config.get("inference_settings", {})
+        perf = self.config.get("performance", {})
+        self.use_bf16 = perf.get("use_bf16", True) if use_bf16 is None else use_bf16
+        self.max_workers = int(perf.get("max_worker_threads", 3))
+        self.parallel_loading = bool(perf.get("enable_parallel_image_loading", True))
+
+        # dataset registration for class names (reference inference.py:593-604)
+        info = read_dataset_info(paths["category_json"])
+        self.class_names = register_datasets(
+            info,
+            dataset_name,
+            paths["split_dir"],
+            paths["category_json"],
+            paths.get("local_dataset_root", "~"),
+        )
+        self.num_classes = len(self.class_names)
+        self.settings = class_settings_from_config(self.inf, self.num_classes)
+        self.constraints = spec_from_config(
+            (self.inf.get("spatial_constraints") or {}).get(dataset_name)
+            or (self.inf.get("spatial_constraints") or {}).get("default"),
+            self.num_classes,
+        )
+
+        # model auto-detect (reference inference.py:610-647)
+        model_paths = get_trained_model_paths(self.split_dir, dataset_name)
+        if not model_paths:
+            from deepemia_tpu.utils.exceptions import ModelLoadError
+
+            raise ModelLoadError(
+                f"No trained models for dataset {dataset_name} under {self.split_dir}"
+            )
+        ts = self.inf.get("tile_settings", {})
+        engine_kw = dict(
+            tile_size=int(ts.get("tile_size", 512)),
+            overlap_ratio=float(ts.get("overlap_ratio", 0.1)),
+            upscale_factor=float(ts.get("upscale_factor", 2.0)),
+            edge_filter=bool(ts.get("edge_filter_enabled", True)),
+            use_tiling=bool(self.inf.get("use_tile_based_inference", True)),
+        )
+        self.engines: List[Tuple[str, TileEngine, float]] = []
+        weights = weights_from_config(self.inf)
+        for name, path in sorted(model_paths.items()):
+            model, params = load_model(path, self.num_classes, self.use_bf16)
+            self.engines.append(
+                (name, TileEngine(model, params, **engine_kw), weights.get(name, 1.0))
+            )
+            log.info("Loaded %s from %s", name, path)
+        es = self.inf.get("ensemble_settings", {})
+        self.use_ensemble = bool(es.get("enabled", True)) and len(self.engines) > 1
+
+    # ------------------------------------------------------------------
+
+    def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, float]:
+        hw = (image.shape[0], image.shape[1])
+        if self.use_ensemble:
+            inst, quality = run_ensemble(
+                self.engines, image, self.settings, hw, dedup_iou=0.4
+            )
+        else:
+            _, engine, _ = self.engines[0]
+            inst, quality = engine.infer(image, self.settings)
+        inst = cross_class_dedup(inst, hw, iou_threshold=0.7)
+        inst = apply_spatial_constraints(inst, hw, self.constraints)
+        # compact + slice to a power-of-2 bucket: downstream export/measure
+        # stages then pay for ~the real instance count, not the full padded
+        # capacity (bounded compile-cache churn: one program per bucket size)
+        inst = compact_instances(inst)
+        n_valid = int(inst.valid.sum())
+        inst = slice_instances(inst, bucket_size(n_valid, inst.capacity))
+        return inst, quality
+
+    def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
+        """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
+        memory stays ~chunk·H·W instead of K·H·W."""
+        import jax
+        import jax.numpy as jnp
+
+        from deepemia_tpu.ops.masks import paste_masks
+
+        if not hasattr(self, "_paste_cache"):
+            self._paste_cache = {}
+        if hw not in self._paste_cache:
+            h, w = hw
+            self._paste_cache[hw] = jax.jit(
+                lambda probs, boxes, valid: paste_masks(probs, boxes, h, w)
+                & valid[:, None, None]
+            )
+        paste = self._paste_cache[hw]
+        k = inst.capacity
+        out = np.zeros((k, hw[0], hw[1]), bool)
+        probs = inst.mask_probs
+        boxes = inst.boxes
+        valid = inst.valid
+        for s in range(0, k, chunk):
+            e = min(s + chunk, k)
+            pad = chunk - (e - s)
+            p = jnp.pad(probs[s:e], ((0, pad), (0, 0), (0, 0)))
+            b = jnp.pad(boxes[s:e], ((0, pad), (0, 0)))
+            v = jnp.pad(valid[s:e], (0, pad))
+            out[s:e] = np.asarray(paste(p, b, v))[: e - s]
+        return out
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        image_folder: str,
+        visualize: bool = True,
+        eta_file: Optional[str] = None,
+    ) -> Dict[str, str]:
+        """Process every image in ``image_folder``. Returns artifact paths."""
+        image_folder = os.path.expanduser(image_folder)
+        images = sorted(f for f in os.listdir(image_folder) if is_image_file(f))
+        if not images:
+            log.warning("No images found in %s", image_folder)
+        rle_rows: List[Tuple[str, str]] = []
+        meas_csv = self.output_dir / "measurements_results.csv"
+        rle_csv = self.output_dir / "R50_flip_results.csv"
+        processed, failed = [], []
+        t_start = time.perf_counter()
+
+        pool = (
+            ThreadPoolExecutor(max_workers=self.max_workers)
+            if self.parallel_loading
+            else None
+        )
+        loads = {}
+        if pool:
+            for name in images:
+                loads[name] = pool.submit(
+                    _load_image, os.path.join(image_folder, name)
+                )
+
+        with open(meas_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(measure_lib.CSV_HEADER)
+            for name in images:
+                t0 = time.perf_counter()
+                try:
+                    img = (
+                        loads[name].result()
+                        if pool
+                        else _load_image(os.path.join(image_folder, name))
+                    )
+                    if img is None:
+                        raise IOError(f"Could not read {name}")
+                    hw = (img.shape[0], img.shape[1])
+
+                    psum, um_pix = detect_scale_bar(
+                        img, self.config, self.dataset_name
+                    )
+                    inst, quality = self._infer_one(img)
+
+                    # RLE export
+                    masks = self._full_masks(inst, hw)
+                    valid = np.asarray(inst.valid)
+                    kept = [i for i in range(len(valid)) if valid[i]]
+                    for i in kept:
+                        rle_rows.append(
+                            (name, rle_to_string(rle_encode(masks[i])))
+                        )
+
+                    # measurements (device) -> CSV rows
+                    measures = measure_lib.measure_instances_device(
+                        inst,
+                        np.asarray(img, np.float32),
+                        measure_contrast=self.config.get(
+                            "measure_contrast_distribution", False
+                        ),
+                    )
+                    rows = measure_lib.measurement_rows(
+                        {k: np.asarray(v) for k, v in measures.items()},
+                        inst,
+                        name,
+                        self.class_names,
+                        um_pix,
+                        psum,
+                        float(hw[0] * hw[1]),
+                    )
+                    writer.writerows(rows)
+                    f.flush()
+
+                    if visualize:
+                        overlay = viz.render_overlay(
+                            img,
+                            [masks[i] for i in kept],
+                            [int(np.asarray(inst.classes)[i]) for i in kept],
+                        )
+                        viz.save_png(
+                            self.output_dir / f"{name}_predictions.png", overlay
+                        )
+
+                    processed.append(name)
+                    log.info(
+                        "%s: %d instances, quality %.2f, %.2fs",
+                        name,
+                        len(kept),
+                        quality,
+                        time.perf_counter() - t0,
+                    )
+                except Exception as e:  # noqa: BLE001 - per-image isolation
+                    failed.append(name)
+                    log.error("Image %s failed: %s", name, e, exc_info=True)
+
+        if pool:
+            pool.shutdown(wait=False)
+
+        # RLE CSV (schema + filename parity, inference.py:957-959)
+        with open(rle_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["ImageId", "EncodedPixels"])
+            w.writerows(rle_rows)
+
+        if visualize:
+            viz.save_png(
+                self.output_dir / "class_legend.png",
+                viz.render_legend(self.class_names),
+            )
+
+        if failed:
+            log.warning("Images not processed: %s", failed)
+        else:
+            log.info("All %d images processed", len(processed))
+
+        if eta_file and processed:
+            update_eta_data(
+                eta_file,
+                "inference",
+                time.perf_counter() - t_start,
+                num_images=len(processed),
+            )
+        return {
+            "measurements_csv": str(meas_csv),
+            "rle_csv": str(rle_csv),
+            "output_dir": str(self.output_dir),
+            "processed": processed,
+            "failed": failed,
+        }
+
+
+def run_inference(
+    dataset_name: str,
+    split_dir: str,
+    image_folder: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    visualize: bool = True,
+) -> Dict[str, str]:
+    """Module-level convenience mirroring the reference entry point
+    (inference.py:499)."""
+    cfg = get_config(dataset_name)
+    pipeline = InferencePipeline(dataset_name, split_dir, output_dir, cfg)
+    folder = image_folder or os.path.join(
+        os.path.expanduser(cfg["paths"].get("local_dataset_root", "~")),
+        "DATASET",
+        "INFERENCE",
+    )
+    return pipeline.run(folder, visualize=visualize, eta_file=cfg["paths"]["eta_file"])

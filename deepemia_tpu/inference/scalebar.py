@@ -1,0 +1,225 @@
+"""Scale-bar detection: ROI crop -> run-length line scoring -> digit OCR.
+
+Parity surface: reference ``src/utils/scalebar_ocr.py`` — config-driven ROI
+(:123-127), EasyOCR first-numeric-token scale value (:149-195), Canny+Hough
+horizontal line detection with intensity/margin filters and collinear-segment
+merging (:197-463), ``um_pix = value / line_px`` (:357-358), fallback
+``("0", 1.0)``.
+
+TPU-native redesign: Canny+probabilistic-Hough collapses to a vectorized
+horizontal-run scan (a scale bar IS a long bright horizontal run), tolerant of
+gaps up to ``merge_gap`` (subsuming the reference's merge_collinear_segments);
+EasyOCR (a CUDA CRAFT+CRNN stack) is replaced by glyph template matching
+against OpenCV's built-in Hershey font — EM scale labels are clean synthetic
+text, where normalized template correlation is reliable — behind the same
+``detect_scale_bar`` boundary so a learned OCR head can drop in later.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+log = logging.getLogger("deepemia_tpu.scalebar")
+
+GLYPHS = "0123456789.umnµ"
+_TEMPLATE_CACHE: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+
+
+def get_scalebar_roi(config: dict, dataset_name: Optional[str], shape) -> Tuple[int, int, int, int]:
+    """(x0, y0, x1, y1) ROI from per-dataset or default factors (reference
+    get_scalebar_roi_for_dataset, scalebar_ocr.py:29-69)."""
+    rois = config.get("scale_bar_rois", {})
+    roi = rois.get(dataset_name) or rois.get("default") or {}
+    h, w = shape[:2]
+    x0 = int(w * roi.get("x_start_factor", 0.7))
+    y0 = int(h * roi.get("y_start_factor", 0.05))
+    x1 = min(w, x0 + int(w * roi.get("width_factor", 1.0)))
+    y1 = min(h, y0 + int(h * roi.get("height_factor", 0.05)))
+    return x0, y0, x1, y1
+
+
+def find_scale_line(
+    gray: np.ndarray,
+    intensity: float = 100,
+    merge_gap: int = 15,
+    min_line_length: int = 30,
+    edge_margin_factor: float = 0.1,
+) -> Optional[Tuple[int, int, int]]:
+    """Longest near-horizontal bright run in the ROI.
+
+    Returns (row, x_start, length_px) or None. Gap-tolerant run detection:
+    a column belongs to a run if any pixel in a 3-row band is bright; gaps up
+    to ``merge_gap`` columns are bridged (the reference achieves the same via
+    Hough + merge_collinear_segments with the same ``merge_gap``).
+    """
+    h, w = gray.shape
+    margin = int(w * edge_margin_factor)
+    bright = gray.astype(np.float32) >= intensity
+    # 3-row vertical tolerance (scale bars are a few px thick / antialiased)
+    band = np.zeros_like(bright)
+    band[1:-1] = bright[:-2] | bright[1:-1] | bright[2:]
+    if h >= 1:
+        band[0] = bright[0]
+        band[-1] = bright[-1]
+
+    best = None
+    for row in range(h):
+        cols = band[row]
+        if margin > 0:
+            cols = cols.copy()
+            cols[:margin] = False
+            cols[w - margin :] = False
+        idx = np.flatnonzero(cols)
+        if idx.size < 2:
+            continue
+        # split where the gap exceeds merge_gap
+        splits = np.flatnonzero(np.diff(idx) > merge_gap)
+        starts = np.concatenate([[0], splits + 1])
+        ends = np.concatenate([splits, [idx.size - 1]])
+        lengths = idx[ends] - idx[starts] + 1
+        k = int(np.argmax(lengths))
+        if lengths[k] >= min_line_length and (
+            best is None or lengths[k] > best[2]
+        ):
+            best = (row, int(idx[starts[k]]), int(lengths[k]))
+    return best
+
+
+def _glyph_templates(height: int) -> List[Tuple[str, np.ndarray]]:
+    """Render Hershey glyph templates at a given pixel height."""
+    if height in _TEMPLATE_CACHE:
+        return _TEMPLATE_CACHE[height]
+    out = []
+    for ch in GLYPHS:
+        draw = "u" if ch == "µ" else ch
+        scale = height / 22.0  # Hershey base height ~22px at scale 1
+        canvas = np.zeros((height + 8, height + 8), np.uint8)
+        cv2.putText(
+            canvas,
+            draw,
+            (2, height + 2),
+            cv2.FONT_HERSHEY_SIMPLEX,
+            scale,
+            255,
+            max(1, int(round(2 * scale))),
+            cv2.LINE_AA,
+        )
+        ys, xs = np.nonzero(canvas > 40)
+        if ys.size == 0:
+            continue
+        t = canvas[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+        out.append((ch, t))
+    _TEMPLATE_CACHE[height] = out
+    return out
+
+
+def _read_glyph(patch: np.ndarray, templates) -> Tuple[str, float]:
+    best_ch, best_score = "", -1.0
+    ph, pw = patch.shape
+    for ch, t in templates:
+        rt = cv2.resize(t, (pw, ph), interpolation=cv2.INTER_AREA)
+        a = patch.astype(np.float32)
+        b = rt.astype(np.float32)
+        a -= a.mean()
+        b -= b.mean()
+        denom = np.sqrt((a * a).sum() * (b * b).sum())
+        score = float((a * b).sum() / denom) if denom > 0 else -1.0
+        if score > best_score:
+            best_ch, best_score = ch, score
+    return best_ch, best_score
+
+
+def read_scale_text(gray: np.ndarray) -> str:
+    """Segment connected components into glyphs (left to right) and classify
+    each against the Hershey atlas. Returns the raw recognized string."""
+    thr = cv2.threshold(
+        gray, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU
+    )[1]
+    if thr.mean() > 127:  # dark text on bright: invert
+        thr = 255 - thr
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(thr, 8)
+    h_roi = gray.shape[0]
+    comps = []
+    for i in range(1, n):
+        x, y, w, h, area = stats[i]
+        if h < 5 or area < 8 or h > 0.95 * h_roi:
+            continue
+        if w > 4 * h:  # the scale bar itself
+            continue
+        comps.append((x, y, w, h))
+    if not comps:
+        return ""
+    comps.sort(key=lambda c: c[0])
+    med_h = int(np.median([c[3] for c in comps]))
+    templates = _glyph_templates(max(med_h, 8))
+    chars = []
+    for x, y, w, h in comps:
+        patch = thr[y : y + h, x : x + w]
+        ch, score = _read_glyph(patch, templates)
+        if score > 0.35:
+            chars.append(ch)
+    return "".join(chars)
+
+
+def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
+    """First numeric token + unit from recognized text (reference takes the
+    first numeric token, scalebar_ocr.py:169-189). Returns (value_um, raw)."""
+    m = re.search(r"(\d+(?:\.\d+)?)", text)
+    if not m:
+        return None
+    value = float(m.group(1))
+    rest = text[m.end() :]
+    unit = 1.0  # default micrometres
+    if "n" in rest:
+        unit = 1e-3  # nm -> um
+    elif "m" in rest and "u" not in rest and "µ" not in rest and "n" not in rest:
+        unit = 1e3  # mm -> um
+    return value * unit, m.group(1)
+
+
+def detect_scale_bar(
+    image: np.ndarray,
+    config: dict,
+    dataset_name: Optional[str] = None,
+) -> Tuple[str, float]:
+    """(psum, um_pix): scale value string and micrometres-per-pixel.
+
+    Same contract and fallback as reference detect_scale_bar
+    (scalebar_ocr.py:72-374): returns ("0", 1.0) when no bar/label is found.
+    """
+    try:
+        gray = (
+            cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+            if image.ndim == 3
+            else image
+        )
+        x0, y0, x1, y1 = get_scalebar_roi(config, dataset_name, gray.shape)
+        roi = gray[y0:y1, x0:x1]
+        if roi.size == 0:
+            return "0", 1.0
+        thr = config.get("scalebar_thresholds", {})
+        line = find_scale_line(
+            roi,
+            intensity=thr.get("intensity", 100),
+            merge_gap=int(thr.get("merge_gap", 15)),
+            min_line_length=int(thr.get("min_line_length", 30)),
+            edge_margin_factor=thr.get("edge_margin_factor", 0.1),
+        )
+        text = read_scale_text(roi)
+        parsed = parse_scale_value(text)
+        if line is None or parsed is None:
+            log.debug(
+                "Scale bar not detected (line=%s, text=%r) — fallback", line, text
+            )
+            return "0", 1.0
+        value_um, raw = parsed
+        um_pix = value_um / float(line[2])
+        return raw, um_pix
+    except Exception as e:  # noqa: BLE001 - detection must never kill a run
+        log.warning("Scale bar detection failed: %s — fallback", e)
+        return "0", 1.0

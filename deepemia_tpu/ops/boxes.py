@@ -80,6 +80,8 @@ def nms_mask(
         valid = jnp.ones((n,), dtype=bool)
     if iou is None:
         iou = box_iou_matrix(boxes, boxes)
+    # scalar or per-instance [N] thresholds (per-class NMS tightness)
+    thr = jnp.broadcast_to(jnp.asarray(iou_threshold, jnp.float32), (n,))
 
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
 
@@ -88,8 +90,8 @@ def nms_mask(
         idx = order[i]
         is_ok = valid[idx] & ~suppressed[idx]
         keep = keep.at[idx].set(is_ok)
-        # suppress everything this box overlaps above threshold
-        over = (iou[idx] > iou_threshold) & is_ok
+        # suppress everything this box overlaps above the keeper's threshold
+        over = (iou[idx] > thr[idx]) & is_ok
         over = over.at[idx].set(False)
         suppressed = suppressed | over
         return keep, suppressed
