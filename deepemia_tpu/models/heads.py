@@ -51,6 +51,39 @@ class BoxPredictor(nn.Module):
         return scores, deltas
 
 
+class Deconv2x2(nn.Module):
+    """Stride-2 kernel-2 transposed conv as a block-expansion einsum.
+
+    With stride == kernel there is no output overlap, so the transposed conv
+    is exactly: each input pixel maps to a 2x2 output block through a
+    [2,2,I,O] tensor — one MXU matmul after reshape. This replaces
+    nn.ConvTranspose whose XLA-CPU gradient is ~100x slower, and gives the
+    TPU a plain contraction instead of a strided conv-transpose.
+    Kernel layout [kh,kw,I,O]; torch ConvTranspose2d parity verified in
+    tests/test_models.py.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [N,H,W,I] -> [N,2H,2W,O]
+        n, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum(
+            "nhwi,pqio->nhpwqo",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+        )
+        y = y.reshape(n, 2 * h, 2 * w, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class MaskHead(nn.Module):
     """4 convs + deconv + 1x1 per-class mask logits (28x28)."""
 
@@ -70,16 +103,7 @@ class MaskHead(nn.Module):
                     name=f"mask_fcn{i + 1}",
                 )(x)
             )
-        x = nn.relu(
-            nn.ConvTranspose(
-                self.conv_dim,
-                (2, 2),
-                strides=(2, 2),
-                transpose_kernel=True,  # true transposed conv (torch parity)
-                dtype=self.dtype,
-                name="deconv",
-            )(x)
-        )
+        x = nn.relu(Deconv2x2(self.conv_dim, dtype=self.dtype, name="deconv")(x))
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="predictor")(x)
 
 

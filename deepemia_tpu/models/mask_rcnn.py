@@ -54,6 +54,23 @@ class MaskRCNN(nn.Module):
         feats = self.fpn(self.backbone(x))
         return {k: v[0] for k, v in feats.items()}
 
+    # -- training-path sub-forwards (each usable via apply(method=...)) ----
+
+    def rpn_forward(self, feats: Dict[str, jnp.ndarray]):
+        """feats {level: [h,w,c]} -> per-level (objectness, deltas), batch
+        dim stripped."""
+        logits, regs = self.rpn_head({k: v[None] for k, v in feats.items()})
+        return (
+            {k: v[0] for k, v in logits.items()},
+            {k: v[0] for k, v in regs.items()},
+        )
+
+    def box_forward(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
+        return self.roi_heads.box_forward(feats, boxes)
+
+    def mask_forward(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
+        return self.roi_heads.mask_forward(feats, boxes)
+
     def __call__(
         self,
         image: jnp.ndarray,
@@ -99,10 +116,11 @@ def build_model(
 
 def init_params(model: MaskRCNN, image_hw: Tuple[int, int] = (512, 512), seed: int = 0):
     """Random-init parameters (dev/test path; production uses converted or
-    trained checkpoints)."""
+    trained checkpoints). Jitted: eager init dispatches thousands of tiny
+    ops, which is minutes over a remote-device tunnel."""
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((*image_hw, 3), jnp.float32)
-    return model.init(rng, dummy)
+    return jax.jit(model.init)(rng, dummy)
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("score_threshold",))

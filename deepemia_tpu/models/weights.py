@@ -36,8 +36,8 @@ def _conv(w: np.ndarray) -> np.ndarray:
 
 
 def _deconv(w: np.ndarray) -> np.ndarray:
-    # flax ConvTranspose(transpose_kernel=True) expects [kh,kw,O,I]
-    return np.transpose(w, (2, 3, 1, 0))
+    # torch ConvTranspose2d [I,O,kh,kw] -> Deconv2x2 kernel [kh,kw,I,O]
+    return np.transpose(w, (2, 3, 0, 1))
 
 
 def _dense(w: np.ndarray) -> np.ndarray:

@@ -62,44 +62,61 @@ def nms_mask(
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
     iou: jnp.ndarray | None = None,
+    max_iters: int = 64,
 ) -> jnp.ndarray:
     """Greedy NMS on padded inputs.
 
     boxes [N,4], scores [N] -> keep mask [N] bool. Invalid rows (``valid``
     False) are never kept and never suppress. Semantics match torchvision NMS
     (strict ``>`` threshold, score-descending greedy order) — the kernel the
-    reference relies on inside Detectron2.
+    reference relies on inside Detectron2. ``iou_threshold`` may be a scalar
+    or a per-instance [N] vector (the keeper's threshold applies). Pass a
+    precomputed ``iou`` (e.g. a *mask* IoU matrix) to reuse the greedy logic
+    for mask-level dedup.
 
-    Implementation: one [N,N] IoU matrix (MXU-friendly batched compare), then
-    a sequential greedy scan in score order under ``fori_loop``; each step is
-    O(N) vector work. Pass a precomputed ``iou`` (e.g. a *mask* IoU matrix) to
-    reuse the same greedy logic for mask-level dedup.
+    Implementation: greedy NMS is the unique fixpoint of
+        kept[i] = valid[i] and no higher-ranked kept j has iou[j,i] > thr[j]
+    (induction over score rank). Instead of an O(N) sequential scan — N
+    dependent iterations are pathological on TPU — iterate that equation from
+    all-kept: after k sweeps every box whose suppression chain is shorter
+    than k is settled, and real chains are a handful deep. Each sweep is one
+    [N,N] masked reduction (VPU), under a convergence-checked while_loop.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     if iou is None:
         iou = box_iou_matrix(boxes, boxes)
-    # scalar or per-instance [N] thresholds (per-class NMS tightness)
     thr = jnp.broadcast_to(jnp.asarray(iou_threshold, jnp.float32), (n,))
 
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    # strict score-rank order with index tiebreak (matches sequential argsort
+    # processing order): rank[i] = position in descending stable sort
+    key = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-key, stable=True)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    def body(i, state):
-        keep, suppressed = state
-        idx = order[i]
-        is_ok = valid[idx] & ~suppressed[idx]
-        keep = keep.at[idx].set(is_ok)
-        # suppress everything this box overlaps above the keeper's threshold
-        over = (iou[idx] > thr[idx]) & is_ok
-        over = over.at[idx].set(False)
-        suppressed = suppressed | over
-        return keep, suppressed
-
-    keep, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    # sup[j,i]: j (if kept) suppresses i
+    sup = (
+        (rank[:, None] < rank[None, :])
+        & (iou > thr[:, None])
+        & valid[:, None]
+        & valid[None, :]
     )
-    return keep
+
+    def cond(state):
+        kept, prev, it = state
+        return (it < max_iters) & jnp.any(kept != prev)
+
+    def body(state):
+        kept, _, it = state
+        suppressed = jnp.any(sup & kept[:, None], axis=0)
+        return valid & ~suppressed, kept, it + 1
+
+    kept0 = valid
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (kept0, jnp.zeros_like(kept0), jnp.int32(0))
+    )
+    return kept
 
 
 def batched_nms_mask(

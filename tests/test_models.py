@@ -124,8 +124,18 @@ def test_conv_orientation_matches_torch():
     expect_d = (
         tdeconv(torch.from_numpy(np.transpose(xd, (0, 3, 1, 2)))).detach().numpy()
     )
-    dmod = nn.ConvTranspose(6, (2, 2), strides=(2, 2), use_bias=False, transpose_kernel=True)
-    out_d = dmod.apply({"params": {"kernel": jnp.asarray(_deconv(wd))}}, jnp.asarray(xd))
+    from deepemia_tpu.models.heads import Deconv2x2
+
+    dmod = Deconv2x2(6)
+    out_d = dmod.apply(
+        {
+            "params": {
+                "kernel": jnp.asarray(_deconv(wd)),
+                "bias": jnp.zeros((6,), jnp.float32),
+            }
+        },
+        jnp.asarray(xd),
+    )
     np.testing.assert_allclose(
         np.transpose(np.asarray(out_d), (0, 3, 1, 2)), expect_d, atol=1e-4
     )
