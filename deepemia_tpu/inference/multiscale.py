@@ -1,0 +1,171 @@
+"""Multi-scale + iterative inference modes and size heuristics.
+
+Parity surfaces (all re-architected TPU-first):
+
+  * ``run_adaptive_multiscale_inference`` (reference inference.py:1833-2067,
+    config multiscale_settings config.yaml:98-101): run the model on the
+    image resized to each scale of a static ladder, map boxes back, merge
+    with mask-IoU dedup. Each scale is one compiled program; results stay on
+    device until the final merge. (In the reference this path was dead code —
+    Q7; here it is a working mode.)
+
+  * ``run_iterative_class_inference`` (reference inference.py:2069-2296,
+    iterative_stopping config.yaml:69-73): the reference re-ran the GPU
+    predictor once per iteration with a lowered threshold baked into the cfg.
+    Thresholds here are data, so iteration collapses to ONE forward pass at
+    the floor threshold plus a host-side walk down a threshold ladder with
+    the reference's stopping criteria (min_total_masks, min_relative_increase,
+    max_consecutive_zero, min_iterations) — identical semantics, no repeated
+    forwards.
+
+  * size heuristics (``calculate_average_mask_sizes`` :1626-1707 /
+    ``determine_small_classes`` :1709-1736): average confident-mask pixel
+    size per class over <=5 sample images; classes at or below the 50th
+    percentile are "small".
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepemia_tpu.inference.detections import (
+    InstanceSet,
+    concat_instances,
+    dedup_by_mask_iou,
+    filter_instances,
+)
+from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+log = logging.getLogger("deepemia_tpu.multiscale")
+
+BASELINE_SCALES = (0.7, 1.0, 1.5, 2.0)
+AGGRESSIVE_SCALES = (1.0, 1.5, 2.0, 2.5, 3.0)
+
+
+def run_multiscale_inference(
+    engine: TileEngine,
+    image: np.ndarray,
+    settings: ClassSettings,
+    scales: Sequence[float] = BASELINE_SCALES,
+    dedup_iou: float = 0.4,
+    max_scale: float = 3.0,
+) -> Tuple[InstanceSet, float]:
+    """Run the (non-tiled) forward at every scale and merge.
+
+    Scaled geometries are rounded to /64 so every scale compiles against an
+    FPN-legal static shape; box coordinates are mapped back exactly by the
+    actual resize ratio.
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    parts: List[InstanceSet] = []
+    quality = 0.0
+    for s in scales:
+        s = min(float(s), max_scale)
+        nh = max(64, int(round(h * s / 64)) * 64)
+        nw = max(64, int(round(w * s / 64)) * 64)
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        inst, quality = engine.infer(resized, settings)
+        # map boxes back to original coordinates
+        sx, sy = w / nw, h / nh
+        boxes = inst.boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+        parts.append(inst._replace(boxes=boxes))
+    merged = concat_instances(parts, parts[0].capacity)
+    merged = dedup_by_mask_iou(merged, (h, w), dedup_iou, class_aware=True)
+    return merged, quality
+
+
+def iterative_threshold_inference(
+    inst_at_floor: InstanceSet,
+    base_threshold: float,
+    floor_threshold: float = 0.2,
+    num_steps: int = 5,
+    min_total_masks: int = 10,
+    min_relative_increase: float = 0.25,
+    max_consecutive_zero: int = 1,
+    min_iterations: int = 2,
+) -> Tuple[InstanceSet, Dict]:
+    """Walk a descending threshold ladder over one forward pass's outputs.
+
+    ``inst_at_floor`` holds all detections above ``floor_threshold``. The
+    ladder starts at ``base_threshold`` and descends linearly; at each step
+    the newly admitted instances are counted and the reference's stopping
+    criteria applied. Returns the instances above the final threshold plus a
+    diagnostic dict.
+    """
+    scores = np.asarray(inst_at_floor.scores)
+    valid = np.asarray(inst_at_floor.valid)
+    ladder = np.linspace(base_threshold, floor_threshold, num_steps)
+    count_prev = 0
+    consecutive_zero = 0
+    final_thr = float(ladder[0])
+    history = []
+    for it, thr in enumerate(ladder):
+        count = int(((scores >= thr) & valid).sum())
+        gained = count - count_prev
+        history.append({"iteration": it, "threshold": float(thr), "count": count})
+        final_thr = float(thr)
+        if it + 1 >= min_iterations:
+            if count >= min_total_masks:
+                rel = gained / max(count_prev, 1)
+                if rel < min_relative_increase:
+                    break
+            if gained == 0:
+                consecutive_zero += 1
+                if consecutive_zero > max_consecutive_zero:
+                    break
+            else:
+                consecutive_zero = 0
+        count_prev = count
+    keep = jnp.asarray((scores >= final_thr) & valid)
+    return (
+        filter_instances(inst_at_floor, keep),
+        {"final_threshold": final_thr, "history": history},
+    )
+
+
+def calculate_average_mask_sizes(
+    engine: TileEngine,
+    image_paths: Sequence[str],
+    settings: ClassSettings,
+    confidence: float = 0.7,
+    sample_size: int = 5,
+) -> Dict[int, float]:
+    """Average confident-instance pixel area per class over a small sample
+    (reference inference.py:1626-1707). Uses RoI mask fraction x box area —
+    no full-res paste needed for a heuristic."""
+    import cv2
+
+    sizes: Dict[int, List[float]] = {}
+    for path in list(image_paths)[:sample_size]:
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        inst, _ = engine.infer(img, settings)
+        scores = np.asarray(inst.scores)
+        valid = np.asarray(inst.valid) & (scores >= confidence)
+        boxes = np.asarray(inst.boxes)
+        frac = np.asarray(inst.mask_probs).mean(axis=(1, 2))
+        areas = frac * np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+            boxes[:, 3] - boxes[:, 1], 0
+        )
+        classes = np.asarray(inst.classes)
+        for c, a in zip(classes[valid], areas[valid]):
+            sizes.setdefault(int(c), []).append(float(a))
+    return {c: float(np.mean(v)) for c, v in sizes.items() if v}
+
+
+def determine_small_classes(
+    class_avg_sizes: Dict[int, float], threshold_percentile: float = 50
+) -> Set[int]:
+    """Classes at or below the percentile threshold are 'small' (reference
+    inference.py:1709-1736)."""
+    if not class_avg_sizes:
+        return set()
+    threshold = np.percentile(list(class_avg_sizes.values()), threshold_percentile)
+    return {c for c, s in class_avg_sizes.items() if s <= threshold}

@@ -1,0 +1,406 @@
+"""Task-level training/evaluation workflows.
+
+Parity surface: reference ``src/functions/train_model.py`` and
+``src/functions/evaluate_model.py``:
+
+  * hyperparameter resolution priority default -> global best -> dataset best
+    (train_model.py:411-471) and best-params write-back into the user's
+    config file (:502-562);
+  * ``train_on_dataset`` (:321-409): disk-space preflight, registration,
+    optional HPO, per-backbone training, post-train evaluation, final
+    weights under the discovery naming;
+  * ``evaluate_model`` (evaluate_model.py:36-152): test-split inference at
+    threshold 0.45, metrics.csv, per-image prediction overlays — with the
+    reference's Q1 broken call signature fixed;
+  * ``optimize_hyperparameters`` (train_model.py:249-319): the Optuna search
+    (not installed here) is replaced by seeded log-uniform random search over
+    the same space, maximizing segmentation AP.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepemia_tpu.config import ConfigStore, get_store
+from deepemia_tpu.data.datasets import (
+    catalog_get,
+    catalog_metadata,
+    rasterize_annotations,
+    read_dataset_info,
+    register_datasets,
+)
+from deepemia_tpu.train.evaluator import evaluate_predictions
+from deepemia_tpu.train.trainer import TrainConfig, train
+from deepemia_tpu.utils.exceptions import TrainingError
+
+log = logging.getLogger("deepemia_tpu.workflow")
+
+HPO_SEARCH_SPACE = {
+    # reference optuna_objective search space (train_model.py:264-270)
+    "base_lr": ("loguniform", 1e-5, 1e-2),
+    "ims_per_batch": ("categorical", [2, 4, 8]),
+    "warmup_iters": ("int", 500, 2000),
+    "gamma": ("float", 0.05, 0.2),
+    "batch_size_per_image": ("categorical", [32, 64, 128]),
+}
+
+
+def check_disk_space(path: str, required_gb: float = 5.0) -> None:
+    """Abort early if the output filesystem is nearly full
+    (reference check_disk_space, train_model.py:76-93)."""
+    usage = shutil.disk_usage(os.path.expanduser(path))
+    free_gb = usage.free / 1e9
+    if free_gb < required_gb:
+        raise TrainingError(
+            f"Insufficient disk space: {free_gb:.1f} GB free, "
+            f"{required_gb:.1f} GB required",
+            details={"path": path},
+        )
+
+
+def load_rcnn_hyperparameters(
+    config: dict, backbone: str, dataset_name: Optional[str] = None
+) -> Dict[str, float]:
+    """Resolution priority: defaults -> global best -> dataset best
+    (reference train_model.py:441-471; dataset best arrives via the config
+    merge channel, config.py:154-162)."""
+    rh = config.get("rcnn_hyperparameters", {})
+    params = dict(rh.get("default", {}).get(backbone, {}))
+    best = rh.get("best", {}).get(backbone, {})
+    params.update({k: v for k, v in best.items() if v is not None})
+    return params
+
+
+def save_best_rcnn_hyperparameters(
+    backbone: str,
+    params: Dict[str, float],
+    dataset_name: Optional[str] = None,
+    store: Optional[ConfigStore] = None,
+) -> None:
+    """Persist HPO winners back into the config file(s) (reference
+    train_model.py:502-562). Global best goes into config.yaml; with a
+    dataset name, also into the dataset's YAML under rcnn_hyperparameters."""
+    import yaml
+
+    store = store or get_store()
+    cfg = store.load()
+    cfg.setdefault("rcnn_hyperparameters", {}).setdefault("best", {})[
+        backbone
+    ] = dict(params)
+    store.save(cfg)
+    if dataset_name:
+        ds_path = store.dataset_config_dir / f"{dataset_name}.yaml"
+        ds_cfg = {}
+        if ds_path.exists():
+            ds_cfg = yaml.safe_load(ds_path.read_text()) or {}
+        ds_cfg.setdefault("rcnn_hyperparameters", {})[
+            f"best_{backbone}"
+        ] = dict(params)
+        ds_path.parent.mkdir(parents=True, exist_ok=True)
+        ds_path.write_text(yaml.safe_dump(ds_cfg, sort_keys=False))
+        store.invalidate()
+    log.info("Saved best %s hyperparameters%s", backbone,
+             f" for {dataset_name}" if dataset_name else "")
+
+
+def _registered_records(dataset_name: str, split: str) -> List[dict]:
+    return catalog_get(f"{dataset_name}_{split}")
+
+
+def train_on_dataset(
+    dataset_name: str,
+    split_dir: str,
+    rcnn: int = 0,
+    augment: bool = False,
+    optimize: bool = False,
+    n_trials: int = 10,
+    config: Optional[dict] = None,
+    max_steps_override: Optional[int] = None,
+    train_size: int = 512,
+    use_bf16: Optional[bool] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Train the requested backbones (rcnn: 0 = both, 50, 101), evaluate each
+    on the test split, save final checkpoints under the discovery layout
+    (reference train_on_dataset, train_model.py:321-409)."""
+    from deepemia_tpu.config import get_config
+
+    config = config or get_config(dataset_name)
+    paths = config["paths"]
+    check_disk_space(split_dir)
+    info = read_dataset_info(paths["category_json"])
+    class_names = register_datasets(
+        info, dataset_name, paths["split_dir"], paths["category_json"],
+        paths.get("local_dataset_root", "~"),
+    )
+    train_records = _registered_records(dataset_name, "train")
+    backbones = {0: ["R50", "R101"], 50: ["R50"], 101: ["R101"]}[rcnn]
+    if use_bf16 is None:
+        use_bf16 = bool(config.get("performance", {}).get("use_bf16", True))
+
+    results: Dict[str, Dict[str, float]] = {}
+    for backbone in backbones:
+        if optimize:
+            best = optimize_hyperparameters(
+                dataset_name,
+                split_dir,
+                backbone=backbone,
+                augment=augment,
+                n_trials=n_trials,
+                config=config,
+                max_steps_override=max_steps_override or 200,
+                train_size=train_size,
+            )
+            hp = best["params"]
+        else:
+            hp = load_rcnn_hyperparameters(config, backbone, dataset_name)
+        out_dir = os.path.join(
+            os.path.expanduser(split_dir), dataset_name, f"rcnn_{backbone.lower()}"
+        )
+        cfg = TrainConfig(
+            backbone=backbone,
+            base_lr=float(hp.get("base_lr", 0.00025)),
+            ims_per_batch=int(hp.get("ims_per_batch", 2)),
+            warmup_iters=int(hp.get("warmup_iters", 1000)),
+            gamma=float(hp.get("gamma", 0.1)),
+            augment=augment,
+            train_size=train_size,
+            use_bf16=use_bf16,
+        )
+        log.info("Training %s on %s: %s", backbone, dataset_name, hp)
+        ckpt, train_metrics = train(
+            train_records,
+            len(class_names),
+            out_dir,
+            cfg,
+            max_steps_override=max_steps_override,
+        )
+        eval_metrics = evaluate_model(
+            dataset_name,
+            split_dir,
+            rcnn=int(backbone[1:]),
+            config=config,
+            visualize=False,
+        )
+        results[backbone] = {
+            "checkpoint": ckpt,
+            **{f"train/{k}": v for k, v in train_metrics.items()},
+            **eval_metrics,
+        }
+    return results
+
+
+def optimize_hyperparameters(
+    dataset_name: str,
+    split_dir: str,
+    backbone: str = "R50",
+    augment: bool = False,
+    n_trials: int = 10,
+    config: Optional[dict] = None,
+    max_steps_override: int = 200,
+    train_size: int = 512,
+    seed: int = 0,
+) -> Dict:
+    """Seeded random search over the reference's Optuna space, maximizing
+    segm AP; persists the winner (reference optimize_hyperparameters,
+    train_model.py:295-319)."""
+    rng = np.random.default_rng(seed)
+    from deepemia_tpu.config import get_config
+
+    config = config or get_config(dataset_name)
+    paths = config["paths"]
+    info = read_dataset_info(paths["category_json"])
+    class_names = register_datasets(
+        info, dataset_name, paths["split_dir"], paths["category_json"],
+        paths.get("local_dataset_root", "~"),
+    )
+    train_records = _registered_records(dataset_name, "train")
+
+    def sample() -> Dict[str, float]:
+        out = {}
+        for name, spec in HPO_SEARCH_SPACE.items():
+            kind = spec[0]
+            if kind == "loguniform":
+                out[name] = float(np.exp(rng.uniform(np.log(spec[1]), np.log(spec[2]))))
+            elif kind == "categorical":
+                out[name] = int(rng.choice(spec[1]))
+            elif kind == "int":
+                out[name] = int(rng.integers(spec[1], spec[2] + 1))
+            else:
+                out[name] = float(rng.uniform(spec[1], spec[2]))
+        return out
+
+    best = {"value": -1.0, "params": {}}
+    for trial in range(n_trials):
+        hp = sample()
+        out_dir = os.path.join(
+            os.path.expanduser(split_dir),
+            dataset_name,
+            f"hpo_{backbone.lower()}_t{trial}",
+        )
+        cfg = TrainConfig(
+            backbone=backbone,
+            base_lr=hp["base_lr"],
+            ims_per_batch=hp["ims_per_batch"],
+            warmup_iters=min(hp["warmup_iters"], max_steps_override // 2),
+            gamma=hp["gamma"],
+            augment=augment,
+            train_size=train_size,
+            checkpoint_every=max_steps_override,
+        )
+        try:
+            ckpt, _ = train(
+                train_records,
+                len(class_names),
+                out_dir,
+                cfg,
+                max_steps_override=max_steps_override,
+                resume=False,
+            )
+            metrics = evaluate_model(
+                dataset_name,
+                split_dir,
+                rcnn=int(backbone[1:]),
+                config=config,
+                checkpoint=ckpt,
+                visualize=False,
+            )
+            ap = metrics.get("segm/AP", metrics.get("bbox/AP", 0.0))
+        except Exception as e:  # noqa: BLE001 - trial isolation
+            log.error("HPO trial %d failed: %s", trial, e)
+            ap = -1.0
+        log.info("HPO trial %d: AP=%.2f params=%s", trial, ap, hp)
+        if np.isfinite(ap) and ap > best["value"]:
+            best = {"value": float(ap), "params": hp}
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if best["params"]:
+        save_best_rcnn_hyperparameters(backbone, best["params"], dataset_name)
+    return best
+
+
+def evaluate_model(
+    dataset_name: str,
+    split_dir: str,
+    rcnn: int = 50,
+    threshold: float = 0.45,
+    config: Optional[dict] = None,
+    checkpoint: Optional[str] = None,
+    visualize: bool = True,
+    output_dir: Optional[str] = None,
+) -> Dict[str, float]:
+    """Evaluate on the test split: per-image forward at ``threshold``,
+    COCO-style bbox+segm AP, metrics.csv, optional overlays
+    (reference evaluate_model.py:36-152 with Q1 fixed)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from deepemia_tpu.config import get_config
+    from deepemia_tpu.data.models import get_trained_model_paths, load_model
+    from deepemia_tpu.inference import viz
+    from deepemia_tpu.inference.detections import (
+        bucket_size,
+        compact_instances,
+        slice_instances,
+    )
+    from deepemia_tpu.inference.engine import (
+        ClassSettings,
+        TileEngine,
+        detections_to_instances,
+    )
+    from deepemia_tpu.ops.masks import paste_masks
+
+    config = config or get_config(dataset_name)
+    paths = config["paths"]
+    info = read_dataset_info(paths["category_json"])
+    class_names = register_datasets(
+        info, dataset_name, paths["split_dir"], paths["category_json"],
+        paths.get("local_dataset_root", "~"),
+    )
+    num_classes = len(class_names)
+
+    if checkpoint is None:
+        model_paths = get_trained_model_paths(split_dir, dataset_name)
+        key = f"R{rcnn}"
+        if key not in model_paths:
+            raise TrainingError(
+                f"No trained {key} model for {dataset_name}",
+                details={"available": list(model_paths)},
+            )
+        checkpoint = model_paths[key]
+    use_bf16 = bool(config.get("performance", {}).get("use_bf16", True))
+    model, params = load_model(checkpoint, num_classes, use_bf16)
+    engine = TileEngine(model, params, use_tiling=False)
+    settings = ClassSettings(
+        confidence=jnp.full((num_classes,), threshold),
+        nms_iou=jnp.full((num_classes,), 0.5),
+        min_size=jnp.zeros((num_classes,)),
+    )
+
+    records = _registered_records(dataset_name, "test")
+    out_dir = Path(
+        os.path.expanduser(output_dir or paths["output_dir"])
+    ) / dataset_name / f"eval_r{rcnn}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    per_image = []
+    t0 = time.perf_counter()
+    for rec in records:
+        img = cv2.imread(rec["file_name"], cv2.IMREAD_COLOR)
+        if img is None:
+            log.warning("Unreadable test image %s — skipped", rec["file_name"])
+            continue
+        hw = (img.shape[0], img.shape[1])
+        inst, _ = engine.infer(img, settings)
+        inst = compact_instances(inst)
+        n = int(inst.valid.sum())
+        inst = slice_instances(inst, bucket_size(n, inst.capacity))
+        masks = np.asarray(
+            paste_masks(inst.mask_probs, inst.boxes, hw[0], hw[1])
+            & inst.valid[:, None, None]
+        )
+        valid = np.asarray(inst.valid)
+        gt_masks = rasterize_annotations(rec)
+        per_image.append(
+            {
+                "pred_boxes": np.asarray(inst.boxes)[valid],
+                "pred_scores": np.asarray(inst.scores)[valid],
+                "pred_classes": np.asarray(inst.classes)[valid],
+                "pred_masks": masks[valid],
+                "gt_boxes": np.array(
+                    [o["bbox"] for o in rec["annotations"]], np.float32
+                ).reshape(-1, 4),
+                "gt_classes": np.array(
+                    [o["category_id"] for o in rec["annotations"]], np.int32
+                ),
+                "gt_masks": gt_masks,
+            }
+        )
+        if visualize:
+            overlay = viz.render_overlay(
+                img, list(masks[valid]), np.asarray(inst.classes)[valid]
+            )
+            viz.save_png(
+                out_dir / f"{Path(rec['file_name']).name}_eval.png", overlay
+            )
+
+    metrics = evaluate_predictions(per_image, num_classes)
+    metrics["eval_seconds"] = time.perf_counter() - t0
+    metrics["num_images"] = len(per_image)
+
+    # metrics.csv (reference evaluate_model.py:102-109)
+    with open(out_dir / "metrics.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metric", "value"])
+        for k, v in sorted(metrics.items()):
+            w.writerow([k, v])
+    log.info("Evaluation of %s R%d: %s", dataset_name, rcnn, {
+        k: round(v, 2) for k, v in metrics.items() if isinstance(v, float)
+    })
+    return metrics

@@ -1,0 +1,106 @@
+"""Tests for iterative/multiscale modes, morphology postproc, size heuristics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepemia_tpu.inference.detections import empty_instances
+from deepemia_tpu.inference.multiscale import (
+    determine_small_classes,
+    iterative_threshold_inference,
+)
+from deepemia_tpu.inference.postprocess import (
+    morphology_postprocess,
+    reject_fragmented_masks,
+)
+from deepemia_tpu.ops.masks import paste_masks
+
+
+def _inst_with_scores(scores, cap=16):
+    inst = empty_instances(cap)
+    n = len(scores)
+    return inst._replace(
+        scores=inst.scores.at[:n].set(jnp.asarray(scores, jnp.float32)),
+        valid=inst.valid.at[:n].set(True),
+        boxes=inst.boxes.at[:n].set(jnp.asarray([[0, 0, 10, 10]] * n)),
+        mask_probs=inst.mask_probs.at[:n].set(1.0),
+    )
+
+
+def test_iterative_stops_on_small_relative_increase():
+    # 12 instances at high scores, 1 extra at a low score: once count >= 10
+    # and the next step adds <25%, iteration stops before reaching the floor
+    scores = [0.9] * 12 + [0.25]
+    inst = _inst_with_scores(scores)
+    out, diag = iterative_threshold_inference(
+        inst, base_threshold=0.8, floor_threshold=0.2, num_steps=4,
+        min_total_masks=10, min_relative_increase=0.25,
+    )
+    assert diag["final_threshold"] > 0.25
+    assert int(out.valid.sum()) == 12  # the 0.25 instance never admitted
+
+
+def test_iterative_runs_to_floor_when_scarce():
+    scores = [0.9, 0.85, 0.5, 0.3, 0.22]
+    inst = _inst_with_scores(scores)
+    out, diag = iterative_threshold_inference(
+        inst, base_threshold=0.8, floor_threshold=0.2, num_steps=4,
+        min_total_masks=10, max_consecutive_zero=2,
+    )
+    assert diag["final_threshold"] == pytest.approx(0.2)
+    assert int(out.valid.sum()) == 5
+
+
+def test_determine_small_classes():
+    sizes = {0: 1000.0, 1: 50.0, 2: 2000.0, 3: 30.0}
+    small = determine_small_classes(sizes)
+    assert small == {1, 3}
+    assert determine_small_classes({}) == set()
+
+
+def test_morphology_postprocess_fills_holes_and_gates_size():
+    cap = 4
+    inst = empty_instances(cap)
+    # instance 0: 28x28 grid with a hole in the middle, box 40x40
+    probs = np.ones((28, 28), np.float32)
+    probs[12:16, 12:16] = 0.0
+    inst = inst._replace(
+        mask_probs=inst.mask_probs.at[0].set(jnp.asarray(probs)),
+        boxes=inst.boxes.at[0].set(jnp.asarray([20.0, 20.0, 60.0, 60.0])),
+        valid=inst.valid.at[0].set(True),
+        # instance 1: tiny 2x2 box -> dropped by the large-class size gate
+        # (min 25 px)
+    )
+    inst = inst._replace(
+        mask_probs=inst.mask_probs.at[1].set(1.0),
+        boxes=inst.boxes.at[1].set(jnp.asarray([0.0, 0.0, 3.0, 3.0])),
+        valid=inst.valid.at[1].set(True),
+    )
+    out = morphology_postprocess(inst, (100, 100))
+    valid = np.asarray(out.valid)
+    assert valid[0] and not valid[1]
+    # pasted result of instance 0 has the hole filled
+    full = np.asarray(
+        paste_masks(out.mask_probs[:1], out.boxes[:1], 100, 100)
+    )[0]
+    assert full[40, 40]  # center of the (former) hole region
+
+
+def test_reject_fragmented_masks():
+    cap = 2
+    inst = empty_instances(cap)
+    # two disjoint blobs inside one RoI grid
+    probs = np.zeros((28, 28), np.float32)
+    probs[2:10, 2:10] = 1.0
+    probs[18:26, 18:26] = 1.0
+    single = np.zeros((28, 28), np.float32)
+    single[4:24, 4:24] = 1.0
+    inst = inst._replace(
+        mask_probs=jnp.asarray(np.stack([probs, single])),
+        boxes=jnp.asarray([[0.0, 0.0, 56.0, 56.0]] * 2),
+        valid=jnp.asarray([True, True]),
+    )
+    out = reject_fragmented_masks(inst, (64, 64))
+    assert np.asarray(out.valid).tolist() == [False, True]
