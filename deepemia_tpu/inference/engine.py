@@ -118,7 +118,11 @@ class TileEngine:
         use_tiling: bool = True,
         mask_threshold: float = 0.5,
         dedup_stride: int = 8,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
+        is then sharded across its devices via shard_map (spatial parallelism
+        over the micrograph; collectives stitch the padded result sets)."""
         self.model = model
         self.params = params
         self.tile_size = tile_size
@@ -130,6 +134,7 @@ class TileEngine:
         self.use_tiling = use_tiling
         self.mask_threshold = mask_threshold
         self.dedup_stride = dedup_stride
+        self.mesh = mesh
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     # -- single forward on a fixed-size input -------------------------------
@@ -163,7 +168,7 @@ class TileEngine:
                 tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
 
                 def per_tile(args):
-                    tile, offset = args
+                    tile, offset, tile_ok = args
                     tile_up = jax.image.resize(
                         tile.astype(jnp.float32), (ts_up, ts_up, 3), "linear"
                     )
@@ -188,10 +193,42 @@ class TileEngine:
                     gboxes = tile_ops.tile_boxes_to_global(
                         inst.boxes[None], offset[None], scale=scale
                     )[0]
-                    return inst._replace(boxes=gboxes)
+                    return inst._replace(
+                        boxes=gboxes, valid=inst.valid & tile_ok
+                    )
 
                 offsets = jnp.asarray(grid.offsets, jnp.float32)
-                tile_insts = jax.lax.map(per_tile, (tiles, offsets))
+                tile_ok = jnp.ones((grid.num_tiles,), bool)
+                if self.mesh is not None and grid.num_tiles > 1:
+                    # shard the tile axis across the mesh: pad the grid to a
+                    # multiple of the device count (padded tiles carry
+                    # tile_ok=False so their detections are discarded), run
+                    # the per-tile map per shard, let GSPMD stitch the rest
+                    from jax.sharding import PartitionSpec as P
+
+                    n_dev = self.mesh.size
+                    pad_t = (-grid.num_tiles) % n_dev
+                    if pad_t:
+                        tiles = jnp.pad(
+                            tiles, ((0, pad_t), (0, 0), (0, 0), (0, 0))
+                        )
+                        offsets = jnp.pad(offsets, ((0, pad_t), (0, 0)))
+                        tile_ok = jnp.pad(tile_ok, (0, pad_t))
+
+                    local_map = lambda ts_, of_, ok_: jax.lax.map(
+                        per_tile, (ts_, of_, ok_)
+                    )
+                    tile_insts = jax.shard_map(
+                        local_map,
+                        mesh=self.mesh,
+                        in_specs=(P("tile"), P("tile"), P("tile")),
+                        out_specs=P("tile"),
+                        check_vma=False,
+                    )(tiles, offsets, tile_ok)
+                else:
+                    tile_insts = jax.lax.map(
+                        per_tile, (tiles, offsets, tile_ok)
+                    )
                 # flatten [T,D,...] -> [T*D,...]
                 flat = InstanceSet(
                     boxes=tile_insts.boxes.reshape(-1, 4),
