@@ -110,6 +110,8 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "multiscale_settings": _mapping(wildcard=Field(types=(list, float, int))),
             "use_tile_based_inference": Field(types=bool, default=True),
             "use_iterative_inference": Field(types=bool, default=False),
+            # binarization threshold for RoI mask probabilities
+            "mask_threshold": Field(types=Number, default=0.5),
             "tile_settings": _mapping(
                 children={
                     "tile_size": Field(types=int, default=512),
@@ -131,6 +133,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "enable_parallel_image_loading": Field(types=bool, default=True),
             "use_bf16": Field(types=bool, default=True),
             "stream_measurements_to_csv": Field(types=bool, default=True),
+            # 'device': on-device morphometric reductions (throughput);
+            # 'host': native C++ contour kernels, cv2-exact (parity)
+            "measurement_backend": Field(types=str, default="device"),
             "cleanup_individual_masks": Field(types=bool, default=True),
             "donate_buffers": Field(types=bool, default=True),
         }

@@ -89,6 +89,7 @@ class InferencePipeline:
         self.use_bf16 = perf.get("use_bf16", True) if use_bf16 is None else use_bf16
         self.max_workers = int(perf.get("max_worker_threads", 3))
         self.parallel_loading = bool(perf.get("enable_parallel_image_loading", True))
+        self.measurement_backend = perf.get("measurement_backend", "device")
 
         # dataset registration for class names (reference inference.py:593-604)
         info = read_dataset_info(paths["category_json"])
@@ -116,12 +117,14 @@ class InferencePipeline:
                 f"No trained models for dataset {dataset_name} under {self.split_dir}"
             )
         ts = self.inf.get("tile_settings", {})
+        self.mask_threshold = float(self.inf.get("mask_threshold", 0.5))
         engine_kw = dict(
             tile_size=int(ts.get("tile_size", 512)),
             overlap_ratio=float(ts.get("overlap_ratio", 0.1)),
             upscale_factor=float(ts.get("upscale_factor", 2.0)),
             edge_filter=bool(ts.get("edge_filter_enabled", True)),
             use_tiling=bool(self.inf.get("use_tile_based_inference", True)),
+            mask_threshold=self.mask_threshold,
         )
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)
@@ -167,8 +170,9 @@ class InferencePipeline:
             self._paste_cache = {}
         if hw not in self._paste_cache:
             h, w = hw
+            thr = self.mask_threshold
             self._paste_cache[hw] = jax.jit(
-                lambda probs, boxes, valid: paste_masks(probs, boxes, h, w)
+                lambda probs, boxes, valid: paste_masks(probs, boxes, h, w, thr)
                 & valid[:, None, None]
             )
         paste = self._paste_cache[hw]
@@ -246,23 +250,49 @@ class InferencePipeline:
                             (name, rle_to_string(rle_encode(masks[i])))
                         )
 
-                    # measurements (device) -> CSV rows
-                    measures = measure_lib.measure_instances_device(
-                        inst,
-                        np.asarray(img, np.float32),
-                        measure_contrast=self.config.get(
-                            "measure_contrast_distribution", False
-                        ),
+                    # measurements -> CSV rows (device reductions by default,
+                    # native-C++ exact contours with measurement_backend=host)
+                    measure_contrast = self.config.get(
+                        "measure_contrast_distribution", False
                     )
-                    rows = measure_lib.measurement_rows(
-                        {k: np.asarray(v) for k, v in measures.items()},
-                        inst,
-                        name,
-                        self.class_names,
-                        um_pix,
-                        psum,
-                        float(hw[0] * hw[1]),
-                    )
+                    if self.measurement_backend == "host":
+                        from deepemia_tpu.inference.measure_host import (
+                            measurement_rows_host,
+                        )
+                        from deepemia_tpu.ops.image import to_grayscale
+
+                        gray = (
+                            np.asarray(to_grayscale(img.astype(np.float32)))
+                            if measure_contrast
+                            else None
+                        )
+                        rows = measurement_rows_host(
+                            masks,
+                            np.asarray(inst.classes),
+                            valid,
+                            name,
+                            self.class_names,
+                            um_pix,
+                            psum,
+                            float(hw[0] * hw[1]),
+                            gray=gray,
+                            measure_contrast=measure_contrast,
+                        )
+                    else:
+                        measures = measure_lib.measure_instances_device(
+                            inst,
+                            np.asarray(img, np.float32),
+                            measure_contrast=measure_contrast,
+                        )
+                        rows = measure_lib.measurement_rows(
+                            {k: np.asarray(v) for k, v in measures.items()},
+                            inst,
+                            name,
+                            self.class_names,
+                            um_pix,
+                            psum,
+                            float(hw[0] * hw[1]),
+                        )
                     writer.writerows(rows)
                     f.flush()
 
