@@ -1,0 +1,57 @@
+"""Pallas kernel tests (interpret mode — CPU-runnable)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepemia_tpu.kernels.roi_align_pallas import roi_align_pallas
+from deepemia_tpu.models.roi_align import multilevel_roi_align
+
+
+@pytest.fixture(scope="module")
+def pyramid(rng):
+    return {
+        "p2": jnp.asarray(rng.random((256, 256, 128)).astype(np.float32)),
+        "p3": jnp.asarray(rng.random((128, 128, 128)).astype(np.float32)),
+        "p4": jnp.asarray(rng.random((64, 64, 128)).astype(np.float32)),
+        "p5": jnp.asarray(rng.random((32, 32, 128)).astype(np.float32)),
+    }
+
+
+def test_pallas_roi_align_matches_xla(pyramid):
+    boxes = jnp.asarray(
+        [
+            [40.0, 40.0, 120.0, 100.0],  # small -> p2
+            [10.0, 10.0, 400.0, 380.0],  # medium -> p4
+            [0.0, 0.0, 1000.0, 900.0],  # large -> p5
+            [5.0, 800.0, 200.0, 1020.0],  # bottom-edge window clamp
+        ],
+        jnp.float32,
+    )
+    ref = multilevel_roi_align(pyramid, boxes, output_size=7)
+    got = roi_align_pallas(pyramid, boxes, output_size=7, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_roi_align_mask_resolution(pyramid):
+    boxes = jnp.asarray([[30.0, 30.0, 150.0, 140.0]], jnp.float32)
+    ref = multilevel_roi_align(pyramid, boxes, output_size=14)
+    got = roi_align_pallas(pyramid, boxes, output_size=14, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_level_bump_for_elongated_boxes(pyramid):
+    """A high-aspect box whose long side would overflow the VMEM window at
+    its sqrt-area level is resampled one level coarser — values stay within
+    the interpolation error of the coarser level, never garbage."""
+    boxes = jnp.asarray([[0.0, 100.0, 400.0, 140.0]], jnp.float32)  # 400x40
+    got = roi_align_pallas(pyramid, boxes, output_size=7, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    # reference at the bumped level (p3 here, stride 8) for comparison
+    ref = multilevel_roi_align(pyramid, boxes, output_size=7)
+    # coarser sampling -> values differ but stay in the data range
+    g = np.asarray(got)
+    assert 0.0 <= g.min() and g.max() <= 1.01
+    assert abs(g.mean() - np.asarray(ref).mean()) < 0.1
