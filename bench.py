@@ -1,14 +1,16 @@
-"""Headline benchmark: 1024x1024 tile inference throughput on one chip.
+"""Benchmarks. Default: ONE JSON line (driver contract) — tile throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--all`` additionally measures the BASELINE.md benchmark configs that map to
+on-device programs (tile-pipeline end-to-end on a 4k micrograph, ensemble
+throughput), one JSON line each.
 
-Baseline (BASELINE.md): the reference runs 5-10 s/image on an NVIDIA L4 at
-default settings — well under 1 effective 1024^2 tile/s. The rebuild target
-is >= 20 tiles/s/chip on TPU v5e. vs_baseline is measured throughput / 20.
+Baseline (BASELINE.md): the reference runs 5-10 s/image on an NVIDIA L4 —
+under 1 effective 1024² tile/s. Rebuild target: >= 20 tiles/s/chip on v5e.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -18,13 +20,18 @@ TARGET_TILES_PER_SEC = 20.0
 TILE = 1024
 WARMUP = 3
 ITERS = 20
-BATCH = 8  # tiles per jitted batch forward
+BATCH = 8
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _sync(x) -> None:
+    # On some remote-device platforms block_until_ready returns before
+    # execution completes; a device->host transfer is the only trustworthy
+    # completion barrier.
+    np.asarray(x)
 
+
+def bench_tile_throughput(jax, jnp):
+    """Headline: full-model forward throughput on 1024^2 tiles."""
     from deepemia_tpu.models.mask_rcnn import build_model, init_params
 
     platform = jax.devices()[0].platform
@@ -32,43 +39,114 @@ def main() -> None:
     model = build_model("R50", num_classes=2, use_bf16=use_bf16)
     params = init_params(model, (TILE, TILE), seed=0)
 
-    def forward_batch(params, tiles):
-        return jax.lax.map(
-            lambda t: model.apply(params, t, score_threshold=0.05), tiles
+    fn = jax.jit(
+        lambda p, ts: jax.lax.map(
+            lambda t: model.apply(p, t, score_threshold=0.05), ts
         )
-
-    fn = jax.jit(forward_batch)
-    rng = np.random.default_rng(0)
-    tiles = jnp.asarray(
-        (rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32)
     )
-
-    def run_once():
-        out = fn(params, tiles)
-        # Pull a small result to host: on some remote-device platforms
-        # block_until_ready returns before execution completes, so a device
-        # -> host transfer is the only trustworthy completion barrier.
-        np.asarray(out.scores)
-
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
     for _ in range(WARMUP):
-        run_once()
-
+        _sync(fn(params, tiles).scores)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        run_once()
+        _sync(fn(params, tiles).scores)
     elapsed = time.perf_counter() - t0
+    tps = ITERS * BATCH / elapsed
+    return {
+        "metric": f"tile_inference_throughput_{platform}",
+        "value": round(tps, 3),
+        "unit": "1024px_tiles_per_sec_per_chip",
+        "vs_baseline": round(tps / TARGET_TILES_PER_SEC, 3),
+    }
 
-    tiles_per_sec = ITERS * BATCH / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"tile_inference_throughput_{platform}",
-                "value": round(tiles_per_sec, 3),
-                "unit": "1024px_tiles_per_sec_per_chip",
-                "vs_baseline": round(tiles_per_sec / TARGET_TILES_PER_SEC, 3),
-            }
-        )
+
+def bench_tile_pipeline_4k(jax, jnp):
+    """BASELINE config 3: tile-based inference on a 4k x 4k micrograph with
+    overlap stitching + dedup NMS, end to end on device."""
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+
+    platform = jax.devices()[0].platform
+    use_bf16 = platform != "cpu"
+    model = build_model("R50", num_classes=2, use_bf16=use_bf16)
+    params = init_params(model, (512, 512), seed=0)
+    engine = TileEngine(
+        model, params, tile_size=512, overlap_ratio=0.1, upscale_factor=2.0
     )
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.5, 0.3]),
+        nms_iou=jnp.asarray([0.7, 0.5]),
+        min_size=jnp.asarray([25.0, 3.0]),
+    )
+    rng = np.random.default_rng(0)
+    img = (rng.random((4096, 4096, 3)) * 255).astype(np.float32)
+    inst, _ = engine.infer(img, settings)  # compile
+    _sync(inst.scores)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        inst, _ = engine.infer(img, settings)
+        _sync(inst.scores)
+        times.append(time.perf_counter() - t0)
+    secs = min(times)
+    # reference: 5-10 s/image on L4 at 1024-ish images; a 4k image is ~16
+    # tiles' worth of area -> reference-equivalent >= 80 s. vs_baseline uses
+    # the conservative 80 s figure.
+    return {
+        "metric": f"tile_pipeline_4k_image_{platform}",
+        "value": round(secs, 3),
+        "unit": "sec_per_4k_image",
+        "vs_baseline": round(80.0 / secs, 3),
+    }
+
+
+def bench_ensemble(jax, jnp):
+    """BASELINE config 5: R50+R101 ensemble forward throughput."""
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+
+    platform = jax.devices()[0].platform
+    use_bf16 = platform != "cpu"
+    models = []
+    for backbone in ("R50", "R101"):
+        m = build_model(backbone, num_classes=2, use_bf16=use_bf16)
+        p = init_params(m, (TILE, TILE), seed=0)
+        models.append((m, p))
+
+    def both(p50, p101, tile):
+        a = models[0][0].apply(p50, tile, score_threshold=0.05)
+        b = models[1][0].apply(p101, tile, score_threshold=0.05)
+        return a.scores.mean() + b.scores.mean()
+
+    fn = jax.jit(both)
+    rng = np.random.default_rng(0)
+    tile = jnp.asarray((rng.random((TILE, TILE, 3)) * 255).astype(np.float32))
+    _sync(fn(models[0][1], models[1][1], tile))
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        _sync(fn(models[0][1], models[1][1], tile))
+    per = (time.perf_counter() - t0) / n
+    return {
+        "metric": f"ensemble_r50_r101_tile_{platform}",
+        "value": round(1.0 / per, 3),
+        "unit": "ensemble_tiles_per_sec_per_chip",
+        "vs_baseline": round((1.0 / per) / (TARGET_TILES_PER_SEC / 2), 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="run every benchmark config")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
+    if args.all:
+        print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
+        print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Skip accelerator preflight (automated runs)",
     )
     p.add_argument("--draw-scalebar", action="store_true", default=False)
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="Capture a jax profiler trace of the task into DIR",
+    )
     return p
 
 
@@ -262,12 +268,15 @@ def run_task(args) -> int:
             estimate_eta(eta_file, "inference", max(n_images, 1)),
             n_images,
         )
+        from deepemia_tpu.utils.profiling import trace
+
         pipe = InferencePipeline(
             args.dataset_name, split_dir, config=cfg
         )
-        result = pipe.run(
-            str(inference_dir), visualize=True, eta_file=eta_file
-        )
+        with trace(args.profile):
+            result = pipe.run(
+                str(inference_dir), visualize=True, eta_file=eta_file
+            )
         if args.upload:
             try:
                 storage.upload_inference_results(Path(result["output_dir"]))

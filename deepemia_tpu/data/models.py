@@ -44,6 +44,8 @@ def get_trained_model_paths(
             d / f"model_final_{suffix}.orbax",
             d / f"model_final_{suffix}.pth",
             d / "model_final.pth",
+            d / f"model_final_{suffix}.pkl",
+            d / "model_final.pkl",
         ):
             if cand.exists():
                 found[rcnn] = str(cand)
@@ -58,7 +60,7 @@ def load_model(
 ) -> Tuple[MaskRCNN, dict]:
     """Load a checkpoint (Orbax dir or Detectron2 .pth) -> (model, params)."""
     path = os.path.expanduser(path)
-    if path.endswith(".pth"):
+    if path.endswith((".pth", ".pkl")):
         from deepemia_tpu.models.weights import load_detectron2_checkpoint
 
         params, ckpt_classes, depth = load_detectron2_checkpoint(path)

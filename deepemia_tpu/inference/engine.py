@@ -119,10 +119,18 @@ class TileEngine:
         mask_threshold: float = 0.5,
         dedup_stride: int = 8,
         mesh=None,
+        full_pass_max_dim: int = 2048,
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
-        over the micrograph; collectives stitch the padded result sets)."""
+        over the micrograph; collectives stitch the padded result sets).
+
+        ``full_pass_max_dim``: the whole-image pass (reference
+        inference.py:2341, for objects larger than a tile) is skipped for
+        images whose long side exceeds this — at 4k+ the pass costs GBs of
+        activations while the upscaled tile grid already covers the field;
+        large objects at that scale exceed a tile anyway and are recovered
+        by the p5/p6 levels of the tile passes."""
         self.model = model
         self.params = params
         self.tile_size = tile_size
@@ -135,6 +143,7 @@ class TileEngine:
         self.mask_threshold = mask_threshold
         self.dedup_stride = dedup_stride
         self.mesh = mesh
+        self.full_pass_max_dim = full_pass_max_dim
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     # -- single forward on a fixed-size input -------------------------------
@@ -156,14 +165,16 @@ class TileEngine:
         fh = h + (-h) % 64
         fw = w + (-w) % 64
 
+        do_full_pass = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
+
         def program(params, image, settings: ClassSettings):
             quality = image_quality_score(image)
             qscale = adaptive_threshold_scale(quality)
 
-            padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
-            full = self._forward(params, padded)
-
-            parts = [full]
+            parts = []
+            if do_full_pass:
+                padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
+                parts.append(self._forward(params, padded))
             if self.use_tiling and grid.num_tiles > 1:
                 tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
 
@@ -241,6 +252,10 @@ class TileEngine:
                 )
                 parts.append(flat)
 
+            if not parts:
+                from deepemia_tpu.inference.detections import empty_instances
+
+                parts = [empty_instances(self.capacity)]
             merged = concat_instances(parts, self.capacity)
             merged = apply_class_thresholds(merged, settings, qscale)
             # cross-source dedup: per-class NMS threshold = max(class nms,

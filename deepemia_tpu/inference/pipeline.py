@@ -136,18 +136,69 @@ class InferencePipeline:
             log.info("Loaded %s from %s", name, path)
         es = self.inf.get("ensemble_settings", {})
         self.use_ensemble = bool(es.get("enabled", True)) and len(self.engines) > 1
+        # multiscale: any class opting in (class_specific_settings.*.use_multiscale)
+        css = self.inf.get("class_specific_settings", {}) or {}
+        self.use_multiscale = any(
+            isinstance(s, dict) and s.get("use_multiscale") for s in css.values()
+        )
+        ms = self.inf.get("multiscale_settings", {}) or {}
+        self.multiscale_scales = tuple(
+            ms.get("baseline_scales", [0.7, 1.0, 1.5, 2.0])
+        )
+        self.multiscale_max = float(ms.get("max_scale", 3.0))
+        self.use_iterative = bool(self.inf.get("use_iterative_inference", False))
+        self.iterative_cfg = self.inf.get("iterative_stopping", {}) or {}
 
     # ------------------------------------------------------------------
 
     def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, float]:
         hw = (image.shape[0], image.shape[1])
+        settings = self.settings
+        if self.use_iterative:
+            # iterative mode: collect down to the floor threshold in the one
+            # forward pass; the threshold ladder picks the final cut
+            import jax.numpy as jnp
+
+            settings = settings._replace(
+                confidence=jnp.minimum(settings.confidence, 0.2)
+            )
         if self.use_ensemble:
             inst, quality = run_ensemble(
-                self.engines, image, self.settings, hw, dedup_iou=0.4
+                self.engines, image, settings, hw, dedup_iou=0.4
+            )
+        elif self.use_multiscale:
+            from deepemia_tpu.inference.multiscale import run_multiscale_inference
+
+            _, engine, _ = self.engines[0]
+            inst, quality = run_multiscale_inference(
+                engine,
+                image,
+                settings,
+                scales=self.multiscale_scales,
+                max_scale=self.multiscale_max,
             )
         else:
             _, engine, _ = self.engines[0]
-            inst, quality = engine.infer(image, self.settings)
+            inst, quality = engine.infer(image, settings)
+        if self.use_iterative:
+            from deepemia_tpu.inference.multiscale import (
+                iterative_threshold_inference,
+            )
+
+            base = float(np.asarray(self.settings.confidence).max())
+            inst, diag = iterative_threshold_inference(
+                inst,
+                base_threshold=base,
+                min_total_masks=int(self.iterative_cfg.get("min_total_masks", 10)),
+                min_relative_increase=float(
+                    self.iterative_cfg.get("min_relative_increase", 0.25)
+                ),
+                max_consecutive_zero=int(
+                    self.iterative_cfg.get("max_consecutive_zero", 1)
+                ),
+                min_iterations=int(self.iterative_cfg.get("min_iterations", 2)),
+            )
+            log.debug("iterative inference: %s", diag)
         inst = cross_class_dedup(inst, hw, iou_threshold=0.7)
         inst = apply_spatial_constraints(inst, hw, self.constraints)
         # compact + slice to a power-of-2 bucket: downstream export/measure
@@ -203,6 +254,9 @@ class InferencePipeline:
         images = sorted(f for f in os.listdir(image_folder) if is_image_file(f))
         if not images:
             log.warning("No images found in %s", image_folder)
+        from deepemia_tpu.utils.profiling import StageTimers
+
+        timers = StageTimers()
         rle_rows: List[Tuple[str, str]] = []
         meas_csv = self.output_dir / "measurements_results.csv"
         rle_csv = self.output_dir / "R50_flip_results.csv"
@@ -236,25 +290,30 @@ class InferencePipeline:
                         raise IOError(f"Could not read {name}")
                     hw = (img.shape[0], img.shape[1])
 
-                    psum, um_pix = detect_scale_bar(
-                        img, self.config, self.dataset_name
-                    )
-                    inst, quality = self._infer_one(img)
+                    with timers.time("scalebar"):
+                        psum, um_pix = detect_scale_bar(
+                            img, self.config, self.dataset_name
+                        )
+                    with timers.time("inference"):
+                        inst, quality = self._infer_one(img)
 
                     # RLE export
-                    masks = self._full_masks(inst, hw)
+                    with timers.time("mask_export"):
+                        masks = self._full_masks(inst, hw)
                     valid = np.asarray(inst.valid)
                     kept = [i for i in range(len(valid)) if valid[i]]
-                    for i in kept:
-                        rle_rows.append(
-                            (name, rle_to_string(rle_encode(masks[i])))
-                        )
+                    with timers.time("rle"):
+                        for i in kept:
+                            rle_rows.append(
+                                (name, rle_to_string(rle_encode(masks[i])))
+                            )
 
                     # measurements -> CSV rows (device reductions by default,
                     # native-C++ exact contours with measurement_backend=host)
                     measure_contrast = self.config.get(
                         "measure_contrast_distribution", False
                     )
+                    _mt = timers.time("measurements"); _mt.__enter__()
                     if self.measurement_backend == "host":
                         from deepemia_tpu.inference.measure_host import (
                             measurement_rows_host,
@@ -293,6 +352,7 @@ class InferencePipeline:
                             psum,
                             float(hw[0] * hw[1]),
                         )
+                    _mt.__exit__(None, None, None)
                     writer.writerows(rows)
                     f.flush()
 
@@ -333,6 +393,7 @@ class InferencePipeline:
                 viz.render_legend(self.class_names),
             )
 
+        timers.log_summary("inference-profile")
         if failed:
             log.warning("Images not processed: %s", failed)
         else:

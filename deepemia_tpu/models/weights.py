@@ -56,7 +56,25 @@ def _fold_bn(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a Detectron2 ``.pth`` into {name: np.ndarray} on CPU."""
+    """Load a Detectron2 checkpoint into {name: np.ndarray}.
+
+    Supports both ``.pth`` (torch.save from DefaultTrainer — the reference's
+    trained checkpoints, train_model.py:230-238) and zoo ``.pkl`` files
+    (pickled {'model': {name: ndarray}, '__author__': 'Detectron2 Model
+    Zoo'} with the same parameter names). Caffe2-era backbone pickles
+    (R-50.pkl with branch2a-style names) are not supported.
+    """
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f, encoding="latin1")
+        sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+        return {
+            k: np.asarray(v)
+            for k, v in sd.items()
+            if isinstance(v, np.ndarray)
+        }
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -65,6 +83,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     for k, v in sd.items():
         if hasattr(v, "numpy"):
             out[k] = v.detach().cpu().numpy()
+        elif isinstance(v, np.ndarray):
+            out[k] = v
     return out
 
 

@@ -1,0 +1,123 @@
+"""Surface-level tests: wizard menu, GUI endpoints, profiling utilities."""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def _env(tmp_home):
+    return dict(
+        os.environ, DEEPEMIA_TPU_HOME=str(tmp_home), JAX_PLATFORMS="cpu"
+    )
+
+
+def test_wizard_menu_and_config_crud(tmp_home):
+    # exit immediately
+    p = subprocess.run(
+        [sys.executable, "cli_main.py"],
+        input="7\n",
+        text=True,
+        capture_output=True,
+        cwd=REPO,
+        env=_env(tmp_home),
+        timeout=60,
+    )
+    assert "Main menu" in p.stdout and "Bye." in p.stdout
+    # create a dataset config from the template, then list it
+    p2 = subprocess.run(
+        [sys.executable, "cli_main.py"],
+        input="6\n3\nwizds\ntemplate\n1\n6\n7\n",
+        text=True,
+        capture_output=True,
+        cwd=REPO,
+        env=_env(tmp_home),
+        timeout=60,
+    )
+    assert "Created:" in p2.stdout
+    assert "wizds" in p2.stdout  # listed afterwards
+
+
+def test_gui_endpoints(tmp_home):
+    from deepemia_tpu.gui import server as gui
+
+    httpd = gui.serve("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
+        assert "deepEMIA-TPU control panel" in page
+        status = json.loads(
+            urllib.request.urlopen(f"{base}/status", timeout=5).read()
+        )
+        assert status["running"] is False
+        # invalid task rejected
+        req = urllib.request.Request(
+            f"{base}/run",
+            data=b"task=evil&dataset=x&password=",
+            method="POST",
+        )
+        r = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert "unknown task" in r["error"]
+        # traversal blocked
+        bad = urllib.request.Request(f"{base}/download?p=../../etc/passwd")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=5)
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_gui_password():
+    import hashlib
+
+    from deepemia_tpu.gui.server import verify_admin_password
+
+    os.environ["DEEPEMIA_ADMIN_PASSWORD_SHA256"] = hashlib.sha256(
+        b"hunter2"
+    ).hexdigest()
+    try:
+        assert verify_admin_password("hunter2")
+        assert not verify_admin_password("wrong")
+    finally:
+        del os.environ["DEEPEMIA_ADMIN_PASSWORD_SHA256"]
+    assert verify_admin_password("anything")  # open when unconfigured
+
+
+def test_stage_timers():
+    from deepemia_tpu.utils.profiling import StageTimers
+
+    t = StageTimers()
+    with t.time("a"):
+        time.sleep(0.01)
+    with t.time("a"):
+        pass
+    with t.time("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_s"] >= 0.01
+    assert "b" in s
+
+
+def test_trace_noop_and_dir(tmp_path):
+    from deepemia_tpu.utils.profiling import trace
+
+    with trace(None):
+        pass  # no-op path
+    with trace(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+
+        _ = jnp.ones((4,)).sum()
+    # trace dir was created (contents depend on backend support)
+    assert (tmp_path / "prof").exists()
