@@ -80,7 +80,8 @@ def bench_tile_pipeline_4k(jax, jnp):
         min_size=jnp.asarray([25.0, 3.0]),
     )
     rng = np.random.default_rng(0)
-    img = (rng.random((4096, 4096, 3)) * 255).astype(np.float32)
+    # uint8 like a decoded TIFF/PNG (the engine casts on device)
+    img = (rng.random((4096, 4096, 3)) * 255).astype(np.uint8)
     inst, _ = engine.infer(img, settings)  # compile
     _sync(inst.scores)
     times = []

@@ -280,8 +280,10 @@ class TileEngine:
         if key not in self._compiled:
             log.info("Compiling tile pipeline for %dx%d image", h, w)
             self._compiled[key] = self._build(h, w)
+        # keep the native dtype for the host->device transfer (uint8 images
+        # move 4x less data than f32; the program casts on device)
         inst, quality = self._compiled[key](
-            self.params, jnp.asarray(image, jnp.float32), settings
+            self.params, jnp.asarray(image), settings
         )
         return inst, float(quality)
 
