@@ -136,6 +136,66 @@ def bench_ensemble(jax, jnp):
     }
 
 
+def bench_train_step(jax, jnp):
+    """Training throughput: full Mask R-CNN train step, B=2 @ 512^2
+    (reference schedule: ims_per_batch 2; L4 baseline ~30 min/epoch)."""
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+    from deepemia_tpu.train.trainer import (
+        TrainState,
+        build_train_step,
+        make_mesh,
+        make_optimizer,
+        state_shardings,
+    )
+
+    platform = jax.devices()[0].platform
+    model = build_model("R50", num_classes=2, use_bf16=platform != "cpu")
+    params = init_params(model, (512, 512), seed=0)
+    tx = make_optimizer(2.5e-4, 1000, 100, params=params)
+    state = TrainState.create(params, tx)
+    mesh = make_mesh(1)
+    step_fn, bsh = build_train_step(model, mesh, tx, state_template=state)
+    state = jax.device_put(state, state_shardings(state, mesh))
+
+    b, s, g = 2, 512, 16
+    rng = np.random.default_rng(0)
+    masks = np.zeros((b, g, s, s), bool)
+    boxes = np.zeros((b, g, 4), np.float32)
+    for i in range(b):
+        for j in range(6):
+            y, x, r = rng.integers(40, 400), rng.integers(40, 400), rng.integers(16, 48)
+            masks[i, j, y : y + r, x : x + r] = True
+            boxes[i, j] = [x, y, x + r, y + r]
+    batch = {
+        "image": (rng.random((b, s, s, 3)) * 255).astype(np.float32),
+        "gt_boxes": boxes,
+        "gt_classes": np.zeros((b, g), np.int32),
+        "gt_valid": np.concatenate(
+            [np.ones((b, 6), bool), np.zeros((b, g - 6), bool)], axis=1
+        ),
+        "gt_masks": masks,
+    }
+    batch = {k: jax.device_put(v, bsh[k]) for k, v in batch.items()}
+    rngk = jax.random.PRNGKey(0)
+    state, m = step_fn(state, batch, rngk)
+    _sync(m["total"])
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(i))
+        _sync(m["total"])
+    per = (time.perf_counter() - t0) / n
+    # reference: ~30 min/epoch on L4. With the auto schedule (100-200
+    # iters/image) an epoch-equivalent is ~1 iter/image; use the ETA
+    # telemetry figure 1800 s/train ~= 10k iters -> 0.18 s/iter baseline.
+    return {
+        "metric": f"train_step_b2_512_{platform}",
+        "value": round(1.0 / per, 3),
+        "unit": "steps_per_sec",
+        "vs_baseline": round((1.0 / per) / (1.0 / 0.18), 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run every benchmark config")
@@ -148,6 +208,7 @@ def main() -> None:
     if args.all:
         print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
         print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
+        print(json.dumps(bench_train_step(jax, jnp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -271,11 +271,16 @@ def run_task(args) -> int:
         from deepemia_tpu.utils.profiling import trace
 
         pipe = InferencePipeline(
-            args.dataset_name, split_dir, config=cfg
+            args.dataset_name, split_dir, config=cfg,
+            default_threshold=args.threshold,
         )
         with trace(args.profile):
             result = pipe.run(
-                str(inference_dir), visualize=True, eta_file=eta_file
+                str(inference_dir),
+                visualize=True,
+                eta_file=eta_file,
+                draw_ids=args.draw_id,
+                draw_scalebar=args.draw_scalebar,
             )
         if args.upload:
             try:

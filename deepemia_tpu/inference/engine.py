@@ -120,6 +120,7 @@ class TileEngine:
         dedup_stride: int = 8,
         mesh=None,
         full_pass_max_dim: int = 2048,
+        confidence_mode: str = "auto",
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
@@ -144,6 +145,9 @@ class TileEngine:
         self.dedup_stride = dedup_stride
         self.mesh = mesh
         self.full_pass_max_dim = full_pass_max_dim
+        # 'auto': thresholds scale down on poor-quality images (reference
+        # adaptive_confidence_threshold); 'manual': thresholds used verbatim
+        self.confidence_mode = confidence_mode
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     # -- single forward on a fixed-size input -------------------------------
@@ -169,7 +173,10 @@ class TileEngine:
 
         def program(params, image, settings: ClassSettings):
             quality = image_quality_score(image)
-            qscale = adaptive_threshold_scale(quality)
+            if self.confidence_mode == "manual":
+                qscale = jnp.float32(1.0)
+            else:
+                qscale = adaptive_threshold_scale(quality)
 
             parts = []
             if do_full_pass:

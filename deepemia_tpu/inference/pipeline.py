@@ -75,7 +75,11 @@ class InferencePipeline:
         output_dir: Optional[str] = None,
         config: Optional[dict] = None,
         use_bf16: Optional[bool] = None,
+        default_threshold: Optional[float] = None,
     ):
+        """``default_threshold``: CLI --threshold; applied to every class when
+        use_class_specific_inference is off (reference main.py threshold
+        semantics — class-specific settings win when enabled)."""
         self.dataset_name = dataset_name
         self.config = config or get_config(dataset_name)
         self.split_dir = os.path.expanduser(split_dir)
@@ -102,6 +106,14 @@ class InferencePipeline:
         )
         self.num_classes = len(self.class_names)
         self.settings = class_settings_from_config(self.inf, self.num_classes)
+        if default_threshold is not None and not self.inf.get(
+            "use_class_specific_inference", True
+        ):
+            import jax.numpy as jnp
+
+            self.settings = self.settings._replace(
+                confidence=jnp.full((self.num_classes,), float(default_threshold))
+            )
         self.constraints = spec_from_config(
             (self.inf.get("spatial_constraints") or {}).get(dataset_name)
             or (self.inf.get("spatial_constraints") or {}).get("default"),
@@ -125,6 +137,7 @@ class InferencePipeline:
             edge_filter=bool(ts.get("edge_filter_enabled", True)),
             use_tiling=bool(self.inf.get("use_tile_based_inference", True)),
             mask_threshold=self.mask_threshold,
+            confidence_mode=str(self.inf.get("confidence_mode", "auto")),
         )
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)
@@ -248,6 +261,8 @@ class InferencePipeline:
         image_folder: str,
         visualize: bool = True,
         eta_file: Optional[str] = None,
+        draw_ids: bool = False,
+        draw_scalebar: bool = False,
     ) -> Dict[str, str]:
         """Process every image in ``image_folder``. Returns artifact paths."""
         image_folder = os.path.expanduser(image_folder)
@@ -291,8 +306,9 @@ class InferencePipeline:
                     hw = (img.shape[0], img.shape[1])
 
                     with timers.time("scalebar"):
-                        psum, um_pix = detect_scale_bar(
-                            img, self.config, self.dataset_name
+                        psum, um_pix, sb_debug = detect_scale_bar(
+                            img, self.config, self.dataset_name,
+                            return_debug=True,
                         )
                     with timers.time("inference"):
                         inst, quality = self._infer_one(img)
@@ -361,7 +377,10 @@ class InferencePipeline:
                             img,
                             [masks[i] for i in kept],
                             [int(np.asarray(inst.classes)[i]) for i in kept],
+                            draw_ids=draw_ids,
                         )
+                        if draw_scalebar:
+                            viz.draw_scalebar_debug(overlay, sb_debug, psum)
                         viz.save_png(
                             self.output_dir / f"{name}_predictions.png", overlay
                         )

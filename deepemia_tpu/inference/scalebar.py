@@ -186,12 +186,21 @@ def detect_scale_bar(
     image: np.ndarray,
     config: dict,
     dataset_name: Optional[str] = None,
-) -> Tuple[str, float]:
-    """(psum, um_pix): scale value string and micrometres-per-pixel.
+    return_debug: bool = False,
+):
+    """(psum, um_pix[, debug]): scale value string and micrometres-per-pixel.
 
     Same contract and fallback as reference detect_scale_bar
     (scalebar_ocr.py:72-374): returns ("0", 1.0) when no bar/label is found.
+    With ``return_debug`` a third dict carries the ROI box and detected line
+    in image coordinates (for --draw-scalebar overlays,
+    reference scalebar_ocr.py's debug drawing).
     """
+    debug = {"roi": None, "line": None, "text": ""}
+
+    def _ret(psum, um_pix):
+        return (psum, um_pix, debug) if return_debug else (psum, um_pix)
+
     try:
         gray = (
             cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
@@ -199,9 +208,10 @@ def detect_scale_bar(
             else image
         )
         x0, y0, x1, y1 = get_scalebar_roi(config, dataset_name, gray.shape)
+        debug["roi"] = (x0, y0, x1, y1)
         roi = gray[y0:y1, x0:x1]
         if roi.size == 0:
-            return "0", 1.0
+            return _ret("0", 1.0)
         thr = config.get("scalebar_thresholds", {})
         line = find_scale_line(
             roi,
@@ -210,16 +220,20 @@ def detect_scale_bar(
             min_line_length=int(thr.get("min_line_length", 30)),
             edge_margin_factor=thr.get("edge_margin_factor", 0.1),
         )
+        if line is not None:
+            row, xs, length = line
+            debug["line"] = (x0 + xs, y0 + row, x0 + xs + length, y0 + row)
         text = read_scale_text(roi)
+        debug["text"] = text
         parsed = parse_scale_value(text)
         if line is None or parsed is None:
             log.debug(
                 "Scale bar not detected (line=%s, text=%r) — fallback", line, text
             )
-            return "0", 1.0
+            return _ret("0", 1.0)
         value_um, raw = parsed
         um_pix = value_um / float(line[2])
-        return raw, um_pix
+        return _ret(raw, um_pix)
     except Exception as e:  # noqa: BLE001 - detection must never kill a run
         log.warning("Scale bar detection failed: %s — fallback", e)
-        return "0", 1.0
+        return _ret("0", 1.0)

@@ -64,6 +64,27 @@ def render_overlay(
     return out
 
 
+def draw_scalebar_debug(image: np.ndarray, debug: dict, psum: str) -> None:
+    """Draw the scale-bar ROI box + detected line in place (reference
+    scalebar_ocr.py debug overlays, enabled by --draw-scalebar)."""
+    if debug.get("roi"):
+        x0, y0, x1, y1 = debug["roi"]
+        cv2.rectangle(image, (x0, y0), (x1, y1), (0, 200, 255), 1)
+    if debug.get("line"):
+        lx0, ly0, lx1, ly1 = debug["line"]
+        cv2.line(image, (lx0, ly0), (lx1, ly1), (0, 0, 255), 2)
+        cv2.putText(
+            image,
+            f"scale: {psum} ({debug.get('text', '')!r})",
+            (lx0, max(ly0 - 6, 12)),
+            cv2.FONT_HERSHEY_SIMPLEX,
+            0.45,
+            (0, 0, 255),
+            1,
+            cv2.LINE_AA,
+        )
+
+
 def render_legend(class_names: List[str], cell_h: int = 30) -> np.ndarray:
     """Color legend image mapping class names to overlay colors (reference
     inference.py:1303-1314)."""
