@@ -166,7 +166,9 @@ table{border-collapse:collapse}td,th{border:1px solid #ccc;padding:.2rem .6rem}
 <fieldset><legend>Live output / logs</legend><pre id="logbox">(idle)</pre></fieldset>
 <fieldset><legend>Task history</legend><table id="hist"><tr><th>task</th>
 <th>dataset</th><th>exit</th><th>seconds</th></tr></table></fieldset>
-<fieldset><legend>Results browser</legend><div id="files"></div></fieldset>
+<fieldset><legend>Results browser</legend>
+<p><a href="zip">Download everything as results.zip</a></p>
+<div id="files"></div></fieldset>
 <script>
 async function refresh(){
   const s = await (await fetch('status')).json();
@@ -242,6 +244,28 @@ class Handler(BaseHTTPRequestHandler):
                     ):
                         files.append(str(p.relative_to(out)))
             self._json(files[:200])
+        elif url.path == "/zip":
+            # zip of the whole results tree (reference create_zip_from_gcs,
+            # streamlit_functions.py:77-107 — here from the local output dir)
+            import io
+            import zipfile
+
+            out = self._output_dir()
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                if out.exists():
+                    for p in sorted(out.rglob("*")):
+                        if p.is_file() and p.stat().st_size < 64 * 1024 * 1024:
+                            z.write(p, p.relative_to(out))
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/zip")
+            self.send_header(
+                "Content-Disposition", "attachment; filename=results.zip"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif url.path == "/download":
             q = urllib.parse.parse_qs(url.query)
             rel = q.get("p", [""])[0]

@@ -267,11 +267,15 @@ class TileEngine:
             merged = apply_class_thresholds(merged, settings, qscale)
             # cross-source dedup: per-class NMS threshold = max(class nms,
             # tile-dedup threshold is the stricter reference behavior at 0.4)
+            # dedup grid capped at ~512 cells/side: IoU on a coarser lattice
+            # for 4k+ images stays within pixel-quantization error while the
+            # low-res paste shrinks 16x
+            stride = max(self.dedup_stride, -(-max(h, w) // 512))
             merged = dedup_by_mask_iou(
                 merged,
                 (h, w),
                 self.dedup_iou,
-                stride=self.dedup_stride,
+                stride=stride,
                 class_aware=True,
             )
             return merged, quality

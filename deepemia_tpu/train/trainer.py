@@ -132,14 +132,27 @@ class TrainState(struct.PyTreeNode):
 # ---------------------------------------------------------------------------
 
 
-def make_mesh(n_model: int = 1) -> Mesh:
-    """('data','model') mesh over all local devices."""
-    devs = np.array(jax.devices())
+def make_mesh(n_model: int = 1, max_data: Optional[int] = None) -> Mesh:
+    """('data','model') mesh over local devices.
+
+    ``max_data`` caps the data axis (it must divide the global batch); when
+    the batch is smaller than the device count, only batch-many devices are
+    used for the data axis.
+    """
+    import math
+
+    devs = jax.devices()
     n = len(devs)
-    n_model = min(n_model, n)
+    n_model = max(1, min(n_model, n))
     while n % n_model:
         n_model -= 1
-    return Mesh(devs.reshape(n // n_model, n_model), ("data", "model"))
+    data = n // n_model
+    if max_data is not None:
+        data = math.gcd(data, max_data) if max_data < data else data
+    return Mesh(
+        np.array(devs[: data * n_model]).reshape(data, n_model),
+        ("data", "model"),
+    )
 
 
 def _tp_spec_for_path(path, leaf) -> P:
@@ -310,7 +323,7 @@ def train(
         params=params,
     )
     state = TrainState.create(params, tx)
-    mesh = make_mesh(cfg.n_model_shards)
+    mesh = make_mesh(cfg.n_model_shards, max_data=cfg.ims_per_batch)
     step_fn, batch_shardings = build_train_step(
         model, mesh, tx, cfg.loss_caps, state_template=state
     )

@@ -29,7 +29,7 @@ def test_wizard_menu_and_config_crud(tmp_home):
         capture_output=True,
         cwd=REPO,
         env=_env(tmp_home),
-        timeout=60,
+        timeout=180,
     )
     assert "Main menu" in p.stdout and "Bye." in p.stdout
     # create a dataset config from the template, then list it
@@ -40,7 +40,7 @@ def test_wizard_menu_and_config_crud(tmp_home):
         capture_output=True,
         cwd=REPO,
         env=_env(tmp_home),
-        timeout=60,
+        timeout=180,
     )
     assert "Created:" in p2.stdout
     assert "wizds" in p2.stdout  # listed afterwards
