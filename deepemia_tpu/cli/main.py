@@ -93,6 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--draw-scalebar", action="store_true", default=False)
     p.add_argument(
+        "--cleanup",
+        action="store_true",
+        help=(
+            "Delete local datasets/results after a successful upload "
+            "(the reference does this unconditionally; here it is opt-in "
+            "and path-guarded)"
+        ),
+    )
+    p.add_argument(
         "--profile",
         metavar="DIR",
         default=None,
@@ -238,6 +247,13 @@ def run_task(args) -> int:
                 metrics.get("segm/AP", float("nan")),
                 metrics.get("bbox/AP", float("nan")),
             )
+        if args.cleanup:
+            from deepemia_tpu.utils.safe_ops import safe_remove_files
+
+            safe_remove_files(
+                [str(dataset_dir)], allowed_bases=[str(ds_root / "DATASET")]
+            )
+            log.info("Deleted local dataset after training (--cleanup)")
         update_eta_data(eta_file, "train", time.time() - t_start)
 
     elif args.task == "evaluate":
@@ -285,6 +301,17 @@ def run_task(args) -> int:
         if args.upload:
             try:
                 storage.upload_inference_results(Path(result["output_dir"]))
+                if args.cleanup:
+                    from deepemia_tpu.utils.safe_ops import safe_remove_files
+
+                    removed = safe_remove_files(
+                        [result["output_dir"], str(inference_dir)],
+                        allowed_bases=[
+                            paths["output_dir"],
+                            str(ds_root / "DATASET"),
+                        ],
+                    )
+                    log.info("Cleaned up %d local paths after upload", len(removed))
             except Exception as e:  # noqa: BLE001
                 log.error("Result upload failed: %s", e)
         rc = 0 if not result["failed"] else 1

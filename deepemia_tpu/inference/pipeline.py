@@ -60,9 +60,20 @@ def is_image_file(name: str) -> bool:
     return name.lower().endswith(IMAGE_EXTS)
 
 
-def _load_image(path: str) -> Optional[np.ndarray]:
+def _load_image(path: str, prefetch_device: bool = False):
+    """Decode (and optionally begin the host->device transfer — overlapping
+    the next image's upload with the current image's compute)."""
     img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, TIFF handled by cv2
-    return img
+    if img is None:
+        return None
+    if prefetch_device:
+        try:
+            import jax
+
+            return img, jax.device_put(img)
+        except Exception:  # noqa: BLE001 - fall back to host array
+            return img, None
+    return img, None
 
 
 class InferencePipeline:
@@ -185,7 +196,7 @@ class InferencePipeline:
             _, engine, _ = self.engines[0]
             inst, quality = run_multiscale_inference(
                 engine,
-                image,
+                np.asarray(image),  # host resize needs a numpy image
                 settings,
                 scales=self.multiscale_scales,
                 max_scale=self.multiscale_max,
@@ -287,7 +298,9 @@ class InferencePipeline:
         if pool:
             for name in images:
                 loads[name] = pool.submit(
-                    _load_image, os.path.join(image_folder, name)
+                    _load_image,
+                    os.path.join(image_folder, name),
+                    True,  # prefetch the device transfer in the loader thread
                 )
 
         with open(meas_csv, "w", newline="") as f:
@@ -296,13 +309,14 @@ class InferencePipeline:
             for name in images:
                 t0 = time.perf_counter()
                 try:
-                    img = (
+                    loaded = (
                         loads[name].result()
                         if pool
                         else _load_image(os.path.join(image_folder, name))
                     )
-                    if img is None:
+                    if loaded is None:
                         raise IOError(f"Could not read {name}")
+                    img, img_dev = loaded
                     hw = (img.shape[0], img.shape[1])
 
                     with timers.time("scalebar"):
@@ -311,7 +325,9 @@ class InferencePipeline:
                             return_debug=True,
                         )
                     with timers.time("inference"):
-                        inst, quality = self._infer_one(img)
+                        inst, quality = self._infer_one(
+                            img_dev if img_dev is not None else img
+                        )
 
                     # RLE export
                     with timers.time("mask_export"):

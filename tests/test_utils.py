@@ -93,3 +93,16 @@ def test_with_retry_eventual_success():
             attempts=2,
             base_delay=0.0,
         )
+
+
+def test_color_wavelength_helpers():
+    from deepemia_tpu.utils.color import hue_to_wavelength, rgb_to_hsv, rgb_to_wavelength
+
+    # pure red: hue 0 -> 620 nm
+    assert rgb_to_wavelength(255, 0, 0) == pytest.approx(620.0)
+    # pure green: hue 120 deg -> cv2 convention 60 -> 582.2 nm
+    h, s, v = rgb_to_hsv(0, 255, 0)
+    assert h == pytest.approx(60.0)
+    assert rgb_to_wavelength(0, 255, 0) == pytest.approx(620.0 - 170.0 / 270.0 * 60.0)
+    with pytest.raises(ValueError):
+        hue_to_wavelength(300.0)
