@@ -18,7 +18,7 @@ import time
 from pathlib import Path
 from typing import Optional
 
-from deepemia_tpu.config import framework_home, get_config, get_store
+from deepemia_tpu.config import get_config, get_store
 from deepemia_tpu.utils.device import check_accelerator_availability
 from deepemia_tpu.utils.eta import estimate_eta, update_eta_data
 from deepemia_tpu.utils.logging_utils import setup_logging, system_logger

@@ -20,7 +20,7 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 from deepemia_tpu.models.mask_rcnn import MaskRCNN, build_model
 from deepemia_tpu.utils.exceptions import ModelLoadError

@@ -23,8 +23,7 @@ which are data here, not compile-time constants.
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +38,6 @@ from deepemia_tpu.inference.detections import (
 )
 from deepemia_tpu.models.heads import Detections
 from deepemia_tpu.models.mask_rcnn import MaskRCNN
-from deepemia_tpu.ops import boxes as box_ops
 from deepemia_tpu.ops import masks as mask_ops
 from deepemia_tpu.ops import tiles as tile_ops
 from deepemia_tpu.ops.image import adaptive_threshold_scale, image_quality_score

@@ -16,8 +16,6 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Sequence, Tuple
 
-import jax.numpy as jnp
-
 from deepemia_tpu.inference.detections import (
     InstanceSet,
     concat_instances,

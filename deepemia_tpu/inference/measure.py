@@ -14,7 +14,7 @@ the reference's per-mask cv2.findContours + python loop.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

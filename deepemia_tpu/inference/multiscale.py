@@ -27,7 +27,7 @@ Parity surfaces (all re-architected TPU-first):
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -28,7 +28,6 @@ import cv2
 import numpy as np
 
 from deepemia_tpu.config import get_config
-from deepemia_tpu.config.constants import StaticShapes
 from deepemia_tpu.data.datasets import read_dataset_info, register_datasets
 from deepemia_tpu.data.models import get_trained_model_paths, load_model
 from deepemia_tpu.inference import measure as measure_lib

@@ -8,7 +8,7 @@ All shapes are static functions of the (static) input image size.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ models.py:136-138). Design notes:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

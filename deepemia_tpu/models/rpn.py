@@ -8,7 +8,7 @@ whole proposal machinery compiles into the same XLA program as the backbone.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

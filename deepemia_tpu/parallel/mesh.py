@@ -16,7 +16,7 @@ stays on the host side exactly like the reference.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ interpolated AP, averaged over classes and over IoU .50:.05:.95, maxDets=100.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

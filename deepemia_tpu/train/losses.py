@@ -9,7 +9,7 @@ samples with validity masks, normalized by valid counts.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

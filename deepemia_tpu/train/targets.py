@@ -16,7 +16,7 @@ sampling (SURVEY.md §7 'Hard parts': dynamic -> static shapes).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 log = logging.getLogger("deepemia_tpu.device")
 
