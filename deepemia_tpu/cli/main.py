@@ -170,6 +170,9 @@ def _honor_platform_env() -> None:
 def run_task(args) -> int:
     _honor_platform_env()
     setup_logging(None, args.verbosity)
+    from deepemia_tpu.utils.device import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host (DCN) when configured via env
 
     if args.task == "setup":
         setup_config_interactive()

@@ -47,7 +47,7 @@ from deepemia_tpu.inference.engine import (
 )
 from deepemia_tpu.inference.ensemble import run_ensemble, weights_from_config
 from deepemia_tpu.inference.scalebar import detect_scale_bar
-from deepemia_tpu.ops.rle import rle_encode, rle_to_string
+from deepemia_tpu.ops.rle import rle_encode, rle_encode_batch_jax, rle_to_string
 from deepemia_tpu.utils.eta import update_eta_data
 
 log = logging.getLogger("deepemia_tpu.pipeline")
@@ -232,6 +232,45 @@ class InferencePipeline:
         inst = slice_instances(inst, bucket_size(n_valid, inst.capacity))
         return inst, quality
 
+    def _device_rle(self, inst: InstanceSet, hw):
+        """Padded (starts, lengths, n_runs) for all instances, computed on
+        device from chunked full-res pastes (no [K,H,W] host transfer)."""
+        import jax
+        import jax.numpy as jnp
+
+        from deepemia_tpu.ops.masks import paste_masks
+
+        key = ("rle", hw, inst.capacity)
+        if not hasattr(self, "_rle_cache"):
+            self._rle_cache = {}
+        if key not in self._rle_cache:
+            h, w = hw
+            thr = self.mask_threshold
+            # capacity: a run starts at most once per (column, boundary
+            # crossing); 4x the long side covers realistic blob complexity
+            max_runs = min(h * w // 2 + 1, 4 * max(h, w))
+
+            def program(probs, boxes, valid):
+                def one(args):
+                    p_, b_, v_ = args
+                    m = paste_masks(p_[None], b_[None], h, w, thr)[0] & v_
+                    st, ln, nr = rle_encode_batch_jax(m[None], max_runs=max_runs)
+                    return st[0], ln[0], nr[0]
+
+                return jax.lax.map(one, (probs, boxes, valid))
+
+            self._rle_cache[key] = (jax.jit(program), max_runs)
+        program, max_runs = self._rle_cache[key]
+        starts, lengths, n_runs = program(inst.mask_probs, inst.boxes, inst.valid)
+        if bool((np.asarray(n_runs) >= max_runs).any()):
+            log.warning(
+                "RLE run capacity (%d) reached for at least one mask — "
+                "encoding may be truncated; use measurement_backend=host or "
+                "visualize=True for exact host-side RLE",
+                max_runs,
+            )
+        return starts, lengths, n_runs
+
     def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
         """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
         memory stays ~chunk·H·W instead of K·H·W."""
@@ -328,16 +367,35 @@ class InferencePipeline:
                             img_dev if img_dev is not None else img
                         )
 
-                    # RLE export
-                    with timers.time("mask_export"):
-                        masks = self._full_masks(inst, hw)
                     valid = np.asarray(inst.valid)
                     kept = [i for i in range(len(valid)) if valid[i]]
+                    # full-res host masks only where actually consumed
+                    need_masks = visualize or self.measurement_backend == "host"
+                    masks = None
+                    if need_masks:
+                        with timers.time("mask_export"):
+                            masks = self._full_masks(inst, hw)
                     with timers.time("rle"):
-                        for i in kept:
-                            rle_rows.append(
-                                (name, rle_to_string(rle_encode(masks[i])))
-                            )
+                        if masks is not None:
+                            for i in kept:
+                                rle_rows.append(
+                                    (name, rle_to_string(rle_encode(masks[i])))
+                                )
+                        else:
+                            # on-device RLE: only padded run tensors leave
+                            # the device (ops/rle.rle_encode_batch_jax)
+                            starts, lengths, n_runs = self._device_rle(inst, hw)
+                            starts = np.asarray(starts)
+                            lengths = np.asarray(lengths)
+                            n_runs = np.asarray(n_runs)
+                            for i in kept:
+                                n = int(n_runs[i])
+                                pairs = np.empty(2 * n, np.int64)
+                                pairs[0::2] = starts[i, :n]
+                                pairs[1::2] = lengths[i, :n]
+                                rle_rows.append(
+                                    (name, rle_to_string(pairs.tolist()))
+                                )
 
                     # measurements -> CSV rows (device reductions by default,
                     # native-C++ exact contours with measurement_backend=host)
@@ -387,7 +445,7 @@ class InferencePipeline:
                     writer.writerows(rows)
                     f.flush()
 
-                    if visualize:
+                    if visualize and masks is not None:
                         overlay = viz.render_overlay(
                             img,
                             [masks[i] for i in kept],

@@ -75,6 +75,36 @@ def log_device_info(info: Optional[dict] = None) -> None:
     )
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize JAX multi-host runtime when a coordinator is configured.
+
+    On TPU pods ``jax.distributed.initialize()`` auto-discovers peers; on
+    other platforms it needs JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    env vars. No-op (False) when nothing is configured — single-host runs
+    stay untouched. This is the DCN entry point (SURVEY.md §5 communication
+    backend: ICI within a pod via the meshes, DCN across hosts via this).
+    """
+    import os
+
+    if os.environ.get("DEEPEMIA_DISTRIBUTED") != "1" and not os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        return False
+    try:
+        import jax
+
+        jax.distributed.initialize()
+        log.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+        return True
+    except Exception as e:  # noqa: BLE001 - fall back to single host
+        log.warning("jax.distributed.initialize failed: %s", e)
+        return False
+
+
 def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None):
     """Create a device mesh. Default: 1-D data mesh over all local devices."""
     import jax
