@@ -48,9 +48,15 @@ def bench_tile_throughput(jax, jnp):
     tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
     for _ in range(WARMUP):
         _sync(fn(params, tiles).scores)
+    # steady-state serving pattern: keep two batches in flight so the
+    # host<->device round trip overlaps compute
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        _sync(fn(params, tiles).scores)
+    pending = fn(params, tiles)
+    for _ in range(ITERS - 1):
+        nxt = fn(params, tiles)
+        _sync(pending.scores)
+        pending = nxt
+    _sync(pending.scores)
     elapsed = time.perf_counter() - t0
     tps = ITERS * BATCH / elapsed
     return {

@@ -55,3 +55,62 @@ def test_tile_sharded_engine_matches_single_device():
     np.testing.assert_allclose(
         np.sort(bs, axis=0), np.sort(bm, axis=0), atol=1e-2
     )
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    """Same batch + rng through the train step on a 1-device mesh and a
+    4x2 (data x model) mesh must produce identical losses — the sharding
+    must not change the math."""
+    import numpy as np
+
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+    from deepemia_tpu.train.trainer import (
+        TrainState,
+        build_train_step,
+        make_mesh,
+        make_optimizer,
+        state_shardings,
+    )
+
+    model = build_model("R50", num_classes=2, use_bf16=False)
+    # host copy: the train step donates its state, deleting device buffers
+    params_host = jax.device_get(init_params(model, (64, 64), seed=0))
+    caps = dict(pre_nms_topk=64, post_nms_topk=32, rpn_batch=32, roi_batch=32,
+                mask_rois=8)
+    b, s, g = 4, 64, 2
+    rng = np.random.default_rng(3)
+    masks = np.zeros((b, g, s, s), bool)
+    boxes = np.zeros((b, g, 4), np.float32)
+    for i in range(b):
+        y, x = rng.integers(8, 30, 2)
+        masks[i, 0, y:y + 16, x:x + 16] = True
+        boxes[i, 0] = [x, y, x + 16, y + 16]
+    batch_np = {
+        "image": (rng.random((b, s, s, 3)) * 255).astype(np.float32),
+        "gt_boxes": boxes,
+        "gt_classes": np.zeros((b, g), np.int32),
+        "gt_valid": np.concatenate(
+            [np.ones((b, 1), bool), np.zeros((b, g - 1), bool)], axis=1),
+        "gt_masks": masks,
+    }
+    key = jax.random.PRNGKey(9)
+
+    losses = {}
+    for name, mesh in (
+        ("single", make_mesh(1, max_data=1)),
+        ("sharded", make_mesh(2)),
+    ):
+        params = jax.tree.map(jnp.asarray, params_host)
+        tx = make_optimizer(2.5e-4, 100, 10, params=params)
+        state = TrainState.create(params, tx)
+        step_fn, bsh = build_train_step(model, mesh, tx, caps, state_template=state)
+        state = jax.device_put(state, state_shardings(state, mesh))
+        batch = {k: jax.device_put(v, bsh[k]) for k, v in batch_np.items()}
+        _, m = step_fn(state, batch, key)
+        losses[name] = {k: float(v) for k, v in m.items()}
+
+    for k in losses["single"]:
+        assert losses["single"][k] == pytest.approx(
+            losses["sharded"][k], rel=1e-4
+        ), f"{k}: {losses['single'][k]} vs {losses['sharded'][k]}"
