@@ -296,7 +296,7 @@ def run_task(args) -> int:
         with trace(args.profile):
             result = pipe.run(
                 str(inference_dir),
-                visualize=True,
+                visualize=args.visualize,
                 eta_file=eta_file,
                 draw_ids=args.draw_id,
                 draw_scalebar=args.draw_scalebar,

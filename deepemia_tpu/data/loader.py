@@ -111,15 +111,28 @@ class TrainLoader:
         self.augment = augment
         self.rng = np.random.default_rng(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._error: Exception | None = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
     def _producer(self):
+        try:
+            self._produce_loop()
+        except BaseException as e:  # noqa: BLE001 - surface via the queue
+            log.error("Train loader producer failed: %s", e, exc_info=True)
+            self._error = e
+            try:
+                self._q.put(None, timeout=1.0)  # wake the consumer
+            except queue.Full:
+                pass
+
+    def _produce_loop(self):
         order = self.rng.permutation(len(self.records))
         pos = 0
         while not self._stop.is_set():
             samples = []
+            consecutive_failures = 0
             while len(samples) < self.batch_size:
                 if pos >= len(order):
                     order = self.rng.permutation(len(self.records))
@@ -131,6 +144,14 @@ class TrainLoader:
                 )
                 if s is not None:
                     samples.append(s)
+                    consecutive_failures = 0
+                else:
+                    consecutive_failures += 1
+                    if consecutive_failures > 2 * len(self.records):
+                        raise RuntimeError(
+                            "no readable training samples: every record "
+                            "failed to load/prepare"
+                        )
             batch = {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]
             }
@@ -143,7 +164,12 @@ class TrainLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            yield self._q.get()
+            item = self._q.get()
+            if item is None or self._error is not None:
+                raise RuntimeError(
+                    "training data producer failed"
+                ) from self._error
+            yield item
 
     def close(self):
         self._stop.set()

@@ -271,7 +271,12 @@ class Handler(BaseHTTPRequestHandler):
             rel = q.get("p", [""])[0]
             out = self._output_dir().resolve()
             target = (out / rel).resolve()
-            if not str(target).startswith(str(out)) or not target.is_file():
+            try:
+                target.relative_to(out)  # raises on escape (exact ancestry)
+            except ValueError:
+                self._json({"error": "not found"}, 404)
+                return
+            if not target.is_file():
                 self._json({"error": "not found"}, 404)
                 return
             ctype = {

@@ -82,7 +82,7 @@ def run_multiscale_inference(
 
 def iterative_threshold_inference(
     inst_at_floor: InstanceSet,
-    base_threshold: float,
+    base_threshold,
     floor_threshold: float = 0.2,
     num_steps: int = 5,
     min_total_masks: int = 10,
@@ -90,39 +90,53 @@ def iterative_threshold_inference(
     max_consecutive_zero: int = 1,
     min_iterations: int = 2,
 ) -> Tuple[InstanceSet, Dict]:
-    """Walk a descending threshold ladder over one forward pass's outputs.
+    """Walk a descending threshold ladder over one forward pass's outputs,
+    PER CLASS (the reference runs its iterative loop per class, so each
+    class's base threshold and stopping walk are independent).
 
-    ``inst_at_floor`` holds all detections above ``floor_threshold``. The
-    ladder starts at ``base_threshold`` and descends linearly; at each step
-    the newly admitted instances are counted and the reference's stopping
-    criteria applied. Returns the instances above the final threshold plus a
-    diagnostic dict.
+    ``inst_at_floor`` holds all detections above ``floor_threshold``;
+    ``base_threshold`` is a scalar or per-class [C] array. Returns the
+    instances above each class's final threshold plus a diagnostic dict.
     """
     scores = np.asarray(inst_at_floor.scores)
     valid = np.asarray(inst_at_floor.valid)
-    ladder = np.linspace(base_threshold, floor_threshold, num_steps)
-    count_prev = 0
-    consecutive_zero = 0
-    final_thr = float(ladder[0])
+    classes = np.asarray(inst_at_floor.classes)
+    bases = np.atleast_1d(np.asarray(base_threshold, np.float64))
+    present = sorted(set(classes[valid].tolist())) or [0]
+    final_thr: Dict[int, float] = {}
     history = []
-    for it, thr in enumerate(ladder):
-        count = int(((scores >= thr) & valid).sum())
-        gained = count - count_prev
-        history.append({"iteration": it, "threshold": float(thr), "count": count})
-        final_thr = float(thr)
-        if it + 1 >= min_iterations:
-            if count >= min_total_masks:
-                rel = gained / max(count_prev, 1)
-                if rel < min_relative_increase:
-                    break
-            if gained == 0:
-                consecutive_zero += 1
-                if consecutive_zero > max_consecutive_zero:
-                    break
-            else:
-                consecutive_zero = 0
-        count_prev = count
-    keep = jnp.asarray((scores >= final_thr) & valid)
+    for c in present:
+        base_c = float(bases[c]) if c < len(bases) else float(bases[-1])
+        ladder = np.linspace(base_c, floor_threshold, num_steps)
+        cls_mask = (classes == c) & valid
+        count_prev = 0
+        consecutive_zero = 0
+        thr_c = float(ladder[0])
+        for it, thr in enumerate(ladder):
+            count = int((scores[cls_mask] >= thr).sum())
+            gained = count - count_prev
+            history.append(
+                {"class": int(c), "iteration": it, "threshold": float(thr),
+                 "count": count}
+            )
+            thr_c = float(thr)
+            if it + 1 >= min_iterations:
+                if count >= min_total_masks:
+                    rel = gained / max(count_prev, 1)
+                    if rel < min_relative_increase:
+                        break
+                if gained == 0:
+                    consecutive_zero += 1
+                    if consecutive_zero > max_consecutive_zero:
+                        break
+                else:
+                    consecutive_zero = 0
+            count_prev = count
+        final_thr[int(c)] = thr_c
+    thr_vec = np.array(
+        [final_thr.get(int(c), float(bases[-1])) for c in classes], np.float32
+    )
+    keep = jnp.asarray((scores >= thr_vec) & valid)
     return (
         filter_instances(inst_at_floor, keep),
         {"final_threshold": final_thr, "history": history},

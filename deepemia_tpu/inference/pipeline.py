@@ -208,10 +208,9 @@ class InferencePipeline:
                 iterative_threshold_inference,
             )
 
-            base = float(np.asarray(self.settings.confidence).max())
             inst, diag = iterative_threshold_inference(
                 inst,
-                base_threshold=base,
+                base_threshold=np.asarray(self.settings.confidence),
                 min_total_masks=int(self.iterative_cfg.get("min_total_masks", 10)),
                 min_relative_increase=float(
                     self.iterative_cfg.get("min_relative_increase", 0.25)
@@ -332,26 +331,33 @@ class InferencePipeline:
             if self.parallel_loading
             else None
         )
+        # bounded prefetch: keep only a couple of decoded images (and their
+        # in-flight device transfers) ahead of consumption, else a large
+        # folder pins hundreds of image buffers in host RAM and HBM
+        prefetch_depth = max(2, self.max_workers)
         loads = {}
+
+        def _submit(upto: int):
+            for nm in images[: upto]:
+                if nm not in loads:
+                    loads[nm] = pool.submit(
+                        _load_image, os.path.join(image_folder, nm), True
+                    )
+
         if pool:
-            for name in images:
-                loads[name] = pool.submit(
-                    _load_image,
-                    os.path.join(image_folder, name),
-                    True,  # prefetch the device transfer in the loader thread
-                )
+            _submit(prefetch_depth)
 
         with open(meas_csv, "w", newline="") as f:
             writer = csv.writer(f)
             writer.writerow(measure_lib.CSV_HEADER)
-            for name in images:
+            for idx, name in enumerate(images):
                 t0 = time.perf_counter()
                 try:
-                    loaded = (
-                        loads[name].result()
-                        if pool
-                        else _load_image(os.path.join(image_folder, name))
-                    )
+                    if pool:
+                        _submit(idx + 1 + prefetch_depth)
+                        loaded = loads.pop(name).result()
+                    else:
+                        loaded = _load_image(os.path.join(image_folder, name))
                     if loaded is None:
                         raise IOError(f"Could not read {name}")
                     img, img_dev = loaded
@@ -431,6 +437,7 @@ class InferencePipeline:
                             inst,
                             np.asarray(img, np.float32),
                             measure_contrast=measure_contrast,
+                            mask_threshold=self.mask_threshold,
                         )
                         rows = measure_lib.measurement_rows(
                             {k: np.asarray(v) for k, v in measures.items()},

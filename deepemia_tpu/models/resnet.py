@@ -65,9 +65,15 @@ class BottleneckBlock(nn.Module):
                 self.out_channels, self.dtype, name="shortcut_norm"
             )(shortcut)
 
+        # STRIDE_IN_1X1: Detectron2 zoo ResNets (Caffe2/MSRA lineage) put the
+        # downsampling stride on the 1x1 conv1, NOT the 3x3 conv2 (the
+        # torchvision convention). Converted checkpoints are only correct
+        # with the stride here — the kernel shapes are identical either way,
+        # so a mismatch would be silent.
         y = nn.Conv(
             self.bottleneck_channels,
             (1, 1),
+            strides=(self.stride, self.stride),
             use_bias=False,
             dtype=self.dtype,
             name="conv1",
@@ -77,7 +83,6 @@ class BottleneckBlock(nn.Module):
         y = nn.Conv(
             self.bottleneck_channels,
             (3, 3),
-            strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             dtype=self.dtype,

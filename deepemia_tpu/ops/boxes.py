@@ -89,34 +89,64 @@ def nms_mask(
         iou = box_iou_matrix(boxes, boxes)
     thr = jnp.broadcast_to(jnp.asarray(iou_threshold, jnp.float32), (n,))
 
-    # strict score-rank order with index tiebreak (matches sequential argsort
-    # processing order): rank[i] = position in descending stable sort
+    # Reorder everything into descending score-rank space (stable tiebreak by
+    # index = the sequential processing order), process rank blocks in
+    # sequence, run the fixpoint to exactness WITHIN each block (suppression
+    # chains inside a block are at most `block` deep), and carry forward the
+    # suppression each block's keepers impose on all later rows. Exact for
+    # any input; cost is O(N/B) scan steps of O(B·N) work.
+    block = min(max_iters if max_iters > 1 else 64, 128)
     key = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-key, stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    iou_r = iou[order][:, order]
+    valid_r = valid[order]
+    thr_r = thr[order]
 
-    # sup[j,i]: j (if kept) suppresses i
-    sup = (
-        (rank[:, None] < rank[None, :])
-        & (iou > thr[:, None])
-        & valid[:, None]
-        & valid[None, :]
+    pad = (-n) % block
+    if pad:
+        iou_r = jnp.pad(iou_r, ((0, pad), (0, pad)))
+        valid_r = jnp.pad(valid_r, (0, pad))
+        thr_r = jnp.pad(thr_r, (0, pad))
+    m = n + pad
+    n_blocks = m // block
+    # sup_r[j,i]: row j (if kept) suppresses later row i
+    later = jnp.triu(jnp.ones((m, m), bool), k=1)
+    sup_r = later & (iou_r > thr_r[:, None]) & valid_r[:, None] & valid_r[None, :]
+
+    tri_block = jnp.triu(jnp.ones((block, block), bool), k=1)
+
+    def scan_body(carry, b):
+        ext_suppressed = carry  # [m] suppression accumulated from keepers
+        start = b * block
+        rows = jax.lax.dynamic_slice(sup_r, (start, 0), (block, m))  # [B,m]
+        sup_bb = jax.lax.dynamic_slice(
+            rows, (0, start), (block, block)
+        ) & tri_block
+        v_b = jax.lax.dynamic_slice(valid_r, (start,), (block,))
+        ext_b = jax.lax.dynamic_slice(ext_suppressed, (start,), (block,))
+        free = v_b & ~ext_b
+
+        def fix_cond(st):
+            kept, prev, it = st
+            return (it < block) & jnp.any(kept != prev)
+
+        def fix_body(st):
+            kept, _, it = st
+            s = jnp.any(sup_bb & kept[:, None], axis=0)
+            return free & ~s, kept, it + 1
+
+        kept_b, _, _ = jax.lax.while_loop(
+            fix_cond, fix_body, (free, jnp.zeros_like(free), jnp.int32(0))
+        )
+        # keepers of this block suppress later rows
+        new_sup = jnp.any(rows & kept_b[:, None], axis=0)
+        return ext_suppressed | new_sup, kept_b
+
+    _, kept_blocks = jax.lax.scan(
+        scan_body, jnp.zeros((m,), bool), jnp.arange(n_blocks)
     )
-
-    def cond(state):
-        kept, prev, it = state
-        return (it < max_iters) & jnp.any(kept != prev)
-
-    def body(state):
-        kept, _, it = state
-        suppressed = jnp.any(sup & kept[:, None], axis=0)
-        return valid & ~suppressed, kept, it + 1
-
-    kept0 = valid
-    kept, _, _ = jax.lax.while_loop(
-        cond, body, (kept0, jnp.zeros_like(kept0), jnp.int32(0))
-    )
-    return kept
+    kept_r = kept_blocks.reshape(m)[:n]
+    return jnp.zeros((n,), bool).at[order].set(kept_r)
 
 
 def batched_nms_mask(

@@ -251,11 +251,11 @@ def connected_components(mask: jnp.ndarray, max_iters: int | None = None):
     labels = jnp.where(mask, idx, big)
 
     def propagate(lab):
-        neg = -lab.astype(jnp.float32)
-        out = jax.lax.reduce_window(
-            neg, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        # min-propagate in int32 directly: a float32 round-trip would lose
+        # label precision above 2^24 (images past ~16.7M pixels)
+        prop = jax.lax.reduce_window(
+            lab, jnp.iinfo(jnp.int32).max, jax.lax.min, (3, 3), (1, 1), "SAME"
         )
-        prop = (-out).astype(jnp.int32)
         return jnp.where(mask, jnp.minimum(lab, prop), big)
 
     def body(state):

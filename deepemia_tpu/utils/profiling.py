@@ -74,9 +74,20 @@ def trace(trace_dir: Optional[str]) -> Iterator[None]:
     path = os.path.expanduser(trace_dir)
     os.makedirs(path, exist_ok=True)
     log.info("Capturing jax profiler trace to %s", path)
+    # only guard the profiler's own start/stop — a failure in the traced
+    # BODY must propagate unchanged (a second yield after gen.throw would
+    # mask it with a RuntimeError)
     try:
-        with jax.profiler.trace(path):
-            yield
+        jax.profiler.start_trace(path)
+        started = True
     except Exception as e:  # noqa: BLE001 - profiling must never kill a run
-        log.warning("Profiler trace failed (%s); continuing unprofiled", e)
+        log.warning("Profiler start failed (%s); continuing unprofiled", e)
+        started = False
+    try:
         yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # noqa: BLE001
+                log.warning("Profiler stop failed: %s", e)

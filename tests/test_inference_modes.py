@@ -38,7 +38,7 @@ def test_iterative_stops_on_small_relative_increase():
         inst, base_threshold=0.8, floor_threshold=0.2, num_steps=4,
         min_total_masks=10, min_relative_increase=0.25,
     )
-    assert diag["final_threshold"] > 0.25
+    assert diag["final_threshold"][0] > 0.25
     assert int(out.valid.sum()) == 12  # the 0.25 instance never admitted
 
 
@@ -49,7 +49,7 @@ def test_iterative_runs_to_floor_when_scarce():
         inst, base_threshold=0.8, floor_threshold=0.2, num_steps=4,
         min_total_masks=10, max_consecutive_zero=2,
     )
-    assert diag["final_threshold"] == pytest.approx(0.2)
+    assert diag["final_threshold"][0] == pytest.approx(0.2)
     assert int(out.valid.sum()) == 5
 
 
