@@ -27,6 +27,12 @@ from deepemia_tpu.utils.exceptions import ModelLoadError
 
 log = logging.getLogger("deepemia_tpu.models_io")
 
+# architecture revision of natively-saved checkpoints; v2 = stride on the
+# 1x1 conv (Detectron2 STRIDE_IN_1X1). v1 checkpoints load but warn: their
+# weights were trained against stride-on-conv2 and compute different
+# activations under v2.
+ARCH_VERSION = 2
+
 
 def get_trained_model_paths(
     split_dir: str, dataset_name: str
@@ -82,6 +88,14 @@ def load_model(
             meta = json.loads(meta_path.read_text())
         else:
             raise ModelLoadError(f"Missing deepemia_meta.json in {path}")
+        ckpt_arch = int(meta.get("arch_version", 1))
+        if ckpt_arch != ARCH_VERSION:
+            log.warning(
+                "Checkpoint %s was saved with arch_version %d (current %d): "
+                "parameter shapes match but strided blocks compute "
+                "differently — retrain or reconvert for correct results",
+                path, ckpt_arch, ARCH_VERSION,
+            )
         model = build_model(
             meta["backbone"], num_classes=meta["num_classes"], use_bf16=use_bf16
         )
@@ -117,6 +131,10 @@ def save_orbax_checkpoint(
                 "backbone": backbone,
                 "num_classes": num_classes,
                 "init_hw": list(init_hw),
+                # bumped when the architecture changes in a way that keeps
+                # parameter shapes but alters computation (e.g. the
+                # STRIDE_IN_1X1 fix) — loads of older checkpoints warn
+                "arch_version": ARCH_VERSION,
             }
         )
     )

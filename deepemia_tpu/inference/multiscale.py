@@ -107,7 +107,10 @@ def iterative_threshold_inference(
     history = []
     for c in present:
         base_c = float(bases[c]) if c < len(bases) else float(bases[-1])
-        ladder = np.linspace(base_c, floor_threshold, num_steps)
+        # the ladder must DESCEND from the class base; a base already at or
+        # below the floor means 'keep everything the engine admitted'
+        floor_c = min(floor_threshold, base_c)
+        ladder = np.linspace(base_c, floor_c, num_steps)
         cls_mask = (classes == c) & valid
         count_prev = 0
         consecutive_zero = 0

@@ -336,13 +336,17 @@ class InferencePipeline:
         # folder pins hundreds of image buffers in host RAM and HBM
         prefetch_depth = max(2, self.max_workers)
         loads = {}
+        next_submit = 0  # monotonic: consumed futures are popped, never re-queued
 
         def _submit(upto: int):
-            for nm in images[: upto]:
-                if nm not in loads:
-                    loads[nm] = pool.submit(
-                        _load_image, os.path.join(image_folder, nm), True
-                    )
+            nonlocal next_submit
+            upto = min(upto, len(images))
+            while next_submit < upto:
+                nm = images[next_submit]
+                loads[nm] = pool.submit(
+                    _load_image, os.path.join(image_folder, nm), True
+                )
+                next_submit += 1
 
         if pool:
             _submit(prefetch_depth)

@@ -62,7 +62,7 @@ def nms_mask(
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
     iou: jnp.ndarray | None = None,
-    max_iters: int = 64,
+    block_size: int = 128,
 ) -> jnp.ndarray:
     """Greedy NMS on padded inputs.
 
@@ -74,13 +74,15 @@ def nms_mask(
     precomputed ``iou`` (e.g. a *mask* IoU matrix) to reuse the greedy logic
     for mask-level dedup.
 
-    Implementation: greedy NMS is the unique fixpoint of
-        kept[i] = valid[i] and no higher-ranked kept j has iou[j,i] > thr[j]
-    (induction over score rank). Instead of an O(N) sequential scan — N
-    dependent iterations are pathological on TPU — iterate that equation from
-    all-kept: after k sweeps every box whose suppression chain is shorter
-    than k is settled, and real chains are a handful deep. Each sweep is one
-    [N,N] masked reduction (VPU), under a convergence-checked while_loop.
+    Implementation: exact greedy NMS without an O(N) sequential scan.
+    Rows are reordered by score rank and processed in ``block_size`` chunks
+    under lax.scan; within each chunk the greedy recurrence
+        kept[i] = free[i] and no higher-ranked kept j has iou[j,i] > thr[j]
+    is iterated to its fixpoint (exact: suppression chains inside a chunk
+    are at most ``block_size`` deep and external suppression is already
+    settled), and each chunk's keepers mark the suppression they impose on
+    all later rows. Worst case O(N/B) scan steps of O(B·N) vector work;
+    typical inputs converge in a few inner sweeps per chunk.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -95,7 +97,7 @@ def nms_mask(
     # chains inside a block are at most `block` deep), and carry forward the
     # suppression each block's keepers impose on all later rows. Exact for
     # any input; cost is O(N/B) scan steps of O(B·N) work.
-    block = min(max_iters if max_iters > 1 else 64, 128)
+    block = max(8, min(block_size, 128))
     key = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-key, stable=True)
     iou_r = iou[order][:, order]

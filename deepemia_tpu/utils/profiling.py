@@ -72,12 +72,12 @@ def trace(trace_dir: Optional[str]) -> Iterator[None]:
     import jax
 
     path = os.path.expanduser(trace_dir)
-    os.makedirs(path, exist_ok=True)
     log.info("Capturing jax profiler trace to %s", path)
-    # only guard the profiler's own start/stop — a failure in the traced
-    # BODY must propagate unchanged (a second yield after gen.throw would
-    # mask it with a RuntimeError)
+    # only guard the profiler's own setup/start/stop — a failure in the
+    # traced BODY must propagate unchanged (a second yield after gen.throw
+    # would mask it with a RuntimeError)
     try:
+        os.makedirs(path, exist_ok=True)
         jax.profiler.start_trace(path)
         started = True
     except Exception as e:  # noqa: BLE001 - profiling must never kill a run
