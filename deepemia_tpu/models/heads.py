@@ -173,6 +173,10 @@ class ROIHeads(nn.Module):
 
     num_classes: int
     dtype: Any = jnp.float32
+    # the zoo configs the reference loads use POOLER_SAMPLING_RATIO=0
+    # (adaptive ceil(roi/out) per axis) — emulated exactly for grids <= 2
+    # (all of levels 2-4) inside the static sample grid, see roi_align.py
+    adaptive_pooler: bool = True
 
     def setup(self):
         self.box_head = BoxHead(dtype=self.dtype)
@@ -180,11 +184,15 @@ class ROIHeads(nn.Module):
         self.mask_head = MaskHead(self.num_classes, dtype=self.dtype)
 
     def box_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
-        pooled = multilevel_roi_align(features, boxes, output_size=7)
+        pooled = multilevel_roi_align(
+            features, boxes, output_size=7, adaptive_ratio=self.adaptive_pooler
+        )
         return self.box_predictor(self.box_head(pooled.astype(self.dtype)))
 
     def mask_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
-        pooled = multilevel_roi_align(features, boxes, output_size=14)
+        pooled = multilevel_roi_align(
+            features, boxes, output_size=14, adaptive_ratio=self.adaptive_pooler
+        )
         return self.mask_head(pooled.astype(self.dtype))  # [D,28,28,C]
 
     def __call__(

@@ -36,12 +36,19 @@ class MaskRCNN(nn.Module):
     depth: int = 50
     num_classes: int = 2
     dtype: Any = jnp.float32  # compute dtype (bfloat16 on TPU)
+    # POOLER_SAMPLING_RATIO=0 emulation (reference zoo-config behavior);
+    # set False for the fixed 2x2 sample grid
+    adaptive_pooler: bool = True
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
         self.fpn = FPN(dtype=self.dtype)
         self.rpn_head = RPNHead(dtype=self.dtype)
-        self.roi_heads = ROIHeads(self.num_classes, dtype=self.dtype)
+        self.roi_heads = ROIHeads(
+            self.num_classes,
+            dtype=self.dtype,
+            adaptive_pooler=self.adaptive_pooler,
+        )
 
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)

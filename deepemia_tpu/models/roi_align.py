@@ -3,10 +3,11 @@
 Replaces Detectron2's CUDA ``ROIAlign`` op (implicit in every reference
 ``predictor(image)`` call, e.g. inference.py:2107). Semantics match
 ROIAlignV2: half-pixel offset (``aligned=True``), bilinear sampling on a
-fixed ``sampling_ratio × sampling_ratio`` sub-grid per output bin, average
+``sampling_ratio × sampling_ratio`` sub-grid per output bin, average
 pooled. The reference op's adaptive sampling ratio (ceil(roi/out)) is a
-dynamic shape — here the ratio is fixed (default 2, the Detectron2 training
-value), the standard static-shape substitution (SURVEY.md §7 'Hard parts').
+dynamic shape; here the grid is a static 2×2 whose sample POSITIONS
+collapse per box to emulate the adaptive rule (``adaptive_ratio=True``,
+exact for adaptive grids of 1 or 2 — every box on levels 2-4).
 
 Multi-level assignment follows the FPN paper rule used by Detectron2:
 level = floor(4 + log2(sqrt(area)/224)) clamped to [2,5]; each box is pooled
@@ -14,6 +15,16 @@ from every level and the right one selected by mask — 4 gathers of which 3
 are discarded, but no dynamic partitioning, so the whole head stays one
 compiled program. (A Pallas scalar-prefetch kernel that gathers only the
 assigned level is the planned optimization.)
+
+Adaptive sampling ratio: the Detectron2 zoo configs the reference loads set
+``POOLER_SAMPLING_RATIO: 0`` — the CUDA op then uses ``ceil(roi/out)``
+samples per bin PER AXIS. FPN level assignment keeps roi/stride in [7,14)
+for levels 2-4, so that adaptive grid is always 1 or 2 there — which a
+fixed 2x2 sample grid can reproduce EXACTLY by collapsing both sub-samples
+to the bin center whenever the adaptive rule says 1 (duplicated samples
+average to the single-sample value). ``adaptive_ratio=True`` does this at
+zero extra cost; only level-5 boxes wider than ``out`` cells (where the
+reference uses >2 samples/bin) remain approximated by the 2x2 grid.
 """
 
 from __future__ import annotations
@@ -109,10 +120,16 @@ def multilevel_roi_align(
     output_size: int = 7,
     sampling_ratio: int = 2,
     levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
+    adaptive_ratio: bool = False,
 ) -> jnp.ndarray:
     """RoIAlign over FPN levels with per-box level assignment.
 
     features {level: [H,W,C]}, boxes [N,4] -> [N,out,out,C].
+
+    ``adaptive_ratio=True`` reproduces the zoo-config ``ceil(roi/out)``
+    per-axis sample count (see module docstring) within the static
+    ``sampling_ratio``-sized grid by collapsing sub-samples when the
+    adaptive rule wants fewer.
 
     Implementation: the whole pyramid is flattened to one [sum(Hi*Wi), C]
     table; each RoI computes flat indices into its assigned level (base
@@ -151,8 +168,25 @@ def multilevel_roi_align(
     bh = (boxes[:, 3] - boxes[:, 1]) * scale
 
     grid = (jnp.arange(p, dtype=jnp.float32) + 0.5) / p  # [P]
-    sx = x0[:, None] + grid[None, :] * bw[:, None]  # [N,P]
-    sy = y0[:, None] + grid[None, :] * bh[:, None]  # [N,P]
+    if adaptive_ratio:
+        # per-bin sample positions for a 1-sample grid: every sub-sample of
+        # bin b sits at its center (b + 0.5)/out. Selecting this grid when
+        # ceil(roi/out) <= 1 (i.e. roi <= out cells) matches the CUDA op's
+        # adaptive rule exactly — duplicated samples average to the single
+        # sample the reference takes.
+        grid1 = (
+            jnp.floor(jnp.arange(p, dtype=jnp.float32) / s) + 0.5
+        ) / output_size  # [P]
+        out_f = jnp.float32(output_size)
+        sx = x0[:, None] + jnp.where(
+            (bw <= out_f)[:, None], grid1[None, :], grid[None, :]
+        ) * bw[:, None]
+        sy = y0[:, None] + jnp.where(
+            (bh <= out_f)[:, None], grid1[None, :], grid[None, :]
+        ) * bh[:, None]
+    else:
+        sx = x0[:, None] + grid[None, :] * bw[:, None]  # [N,P]
+        sy = y0[:, None] + grid[None, :] * bh[:, None]  # [N,P]
 
     xi0 = jnp.floor(sx).astype(jnp.int32)
     yi0 = jnp.floor(sy).astype(jnp.int32)

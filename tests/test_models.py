@@ -97,6 +97,88 @@ def test_roi_align_matches_reference_semantics():
     np.testing.assert_allclose(np.asarray(ours), expect, atol=1e-4)
 
 
+def _np_roi_align_adaptive(feat_hwc, boxes, out_size, spatial_scale):
+    """Adaptive-ratio RoIAlign oracle following the CUDA op with
+    sampling_ratio<=0 (POOLER_SAMPLING_RATIO=0 in the zoo configs the
+    reference loads): per axis, ceil(roi/out) samples per bin."""
+    h, w, c = feat_hwc.shape
+    out = np.zeros((len(boxes), out_size, out_size, c), np.float32)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c, np.float32)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - y0, x - x0
+        y0c, y1c = np.clip([y0, y0 + 1], 0, h - 1)
+        x0c, x1c = np.clip([x0, x0 + 1], 0, w - 1)
+        return (
+            feat_hwc[y0c, x0c] * (1 - fy) * (1 - fx)
+            + feat_hwc[y0c, x1c] * (1 - fy) * fx
+            + feat_hwc[y1c, x0c] * fy * (1 - fx)
+            + feat_hwc[y1c, x1c] * fy * fx
+        )
+
+    for n, (bx0, by0, bx1, by1) in enumerate(boxes):
+        x0 = bx0 * spatial_scale - 0.5
+        y0 = by0 * spatial_scale - 0.5
+        bw = (bx1 - bx0) * spatial_scale
+        bh = (by1 - by0) * spatial_scale
+        gx = max(1, int(np.ceil(bw / out_size)))
+        gy = max(1, int(np.ceil(bh / out_size)))
+        for i in range(out_size):
+            for j in range(out_size):
+                acc = np.zeros(c, np.float32)
+                for ki in range(gy):
+                    for kj in range(gx):
+                        sy = y0 + (i + (ki + 0.5) / gy) / out_size * bh
+                        sx = x0 + (j + (kj + 0.5) / gx) / out_size * bw
+                        acc += bilinear(sy, sx)
+                out[n, i, j] = acc / (gx * gy)
+    return out
+
+
+def test_adaptive_ratio_matches_cuda_adaptive_rule():
+    """adaptive_ratio=True must reproduce the CUDA op's ceil(roi/out)
+    adaptive sampling (what the reference's zoo configs use via
+    POOLER_SAMPLING_RATIO=0) for boxes whose adaptive grid is 1 or 2 per
+    axis: roi <= 14 cells for out=7 — i.e. every FPN level 2-4 box."""
+    from deepemia_tpu.models.roi_align import multilevel_roi_align
+
+    rng = np.random.default_rng(3)
+    feat = rng.random((32, 32, 8)).astype(np.float32)
+    # stride-4 level p2: image-coord boxes up to 14*4=56 px stay at grid<=2;
+    # mix of grid-1 (roi < 7 cells = 28px) and grid-2 (28..56px) boxes,
+    # including one rectangular box with grid 1 in x and 2 in y
+    boxes = np.array(
+        [
+            [8.0, 8.0, 30.0, 30.0],     # 5.5 cells  -> grid 1
+            [4.0, 4.0, 52.0, 52.0],     # 12 cells   -> grid 2
+            [10.0, 10.0, 34.0, 62.0],   # 6 x 13     -> grid (1, 2)
+            [0.0, 0.0, 27.9, 55.9],     # boundary: just under 7 / 14 cells
+        ],
+        np.float32,
+    )
+    ours = multilevel_roi_align(
+        {"p2": jnp.asarray(feat)},
+        jnp.asarray(boxes),
+        output_size=7,
+        levels=("p2",),
+        adaptive_ratio=True,
+    )
+    expect = _np_roi_align_adaptive(feat, boxes, 7, 1.0 / 4.0)
+    np.testing.assert_allclose(np.asarray(ours), expect, atol=1e-4)
+    # and it must DIFFER from the fixed-2 grid for the grid-1 box — the
+    # emulation is doing something
+    fixed = multilevel_roi_align(
+        {"p2": jnp.asarray(feat)},
+        jnp.asarray(boxes),
+        output_size=7,
+        levels=("p2",),
+        adaptive_ratio=False,
+    )
+    assert np.abs(np.asarray(ours[0]) - np.asarray(fixed[0])).max() > 1e-5
+
+
 def test_conv_orientation_matches_torch():
     torch = pytest.importorskip("torch")
     import flax.linen as nn
