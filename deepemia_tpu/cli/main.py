@@ -107,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="Capture a jax profiler trace of the task into DIR",
     )
+    p.add_argument(
+        "--chips",
+        type=int,
+        default=None,
+        help=(
+            "Devices for tile-sharded inference "
+            "(default: config performance.inference_chips; 0 = all local)"
+        ),
+    )
     return p
 
 
@@ -289,6 +298,8 @@ def run_task(args) -> int:
         )
         from deepemia_tpu.utils.profiling import trace
 
+        if args.chips is not None:
+            cfg.setdefault("performance", {})["inference_chips"] = args.chips
         pipe = InferencePipeline(
             args.dataset_name, split_dir, config=cfg,
             default_threshold=args.threshold,

@@ -110,6 +110,19 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "multiscale_settings": _mapping(wildcard=Field(types=(list, float, int))),
             "use_tile_based_inference": Field(types=bool, default=True),
             "use_iterative_inference": Field(types=bool, default=False),
+            # universal morphology postprocessing (reference
+            # postprocess_masks_universal, inference.py:1739-1813) + the
+            # small/large size-heuristic pass (inference.py:660-668)
+            "postprocessing": _mapping(
+                children={
+                    "enabled": Field(types=bool, default=True),
+                    # 0 = auto: max(3, 5e-6*area) / max(25, 1e-4*area)
+                    "min_size_small": Field(types=Number, default=0),
+                    "min_size_large": Field(types=Number, default=0),
+                    # images sampled for the small/large class heuristic
+                    "size_heuristic_sample": Field(types=int, default=5),
+                }
+            ),
             # binarization threshold for RoI mask probabilities
             "mask_threshold": Field(types=Number, default=0.5),
             "tile_settings": _mapping(
@@ -133,9 +146,13 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "enable_parallel_image_loading": Field(types=bool, default=True),
             "use_bf16": Field(types=bool, default=True),
             "stream_measurements_to_csv": Field(types=bool, default=True),
-            # 'device': on-device morphometric reductions (throughput);
-            # 'host': native C++ contour kernels, cv2-exact (parity)
-            "measurement_backend": Field(types=str, default="device"),
+            # 'host': native C++ contour kernels, cv2-exact (<1% CSV parity,
+            # the BASELINE.md target — default); 'device': on-device
+            # morphometric reductions (opt-in throughput path, perimeter may
+            # deviate up to ~6% on threshold-ragged boundaries)
+            "measurement_backend": Field(types=str, default="host"),
+            # chips used for tile-sharded inference: 0 = all local devices
+            "inference_chips": Field(types=int, default=0),
             "cleanup_individual_masks": Field(types=bool, default=True),
             "donate_buffers": Field(types=bool, default=True),
         }

@@ -56,16 +56,28 @@ class ClassSettings(NamedTuple):
 
 
 def class_settings_from_config(
-    inference_settings: Dict[str, Any], num_classes: int
+    inference_settings: Dict[str, Any],
+    num_classes: int,
+    small_classes=None,
 ) -> ClassSettings:
+    """``small_classes``: when given (the size-heuristic output,
+    multiscale.determine_small_classes), classes WITHOUT explicit config get
+    the reference's small/large defaults — confidence 0.3/0.5, NMS IoU
+    0.5/0.7 (inference.py:800-816)."""
     css = inference_settings.get("class_specific_settings", {})
     conf = np.full((num_classes,), 0.5, np.float32)
     nms = np.full((num_classes,), 0.5, np.float32)
     min_size = np.zeros((num_classes,), np.float32)
     for c in range(num_classes):
         s = css.get(f"class_{c}", {})
-        conf[c] = s.get("confidence_threshold", 0.5)
-        nms[c] = s.get("iou_threshold", 0.5)
+        if small_classes is None:
+            conf_default, nms_default = 0.5, 0.5
+        elif c in small_classes:
+            conf_default, nms_default = 0.3, 0.5
+        else:
+            conf_default, nms_default = 0.5, 0.7
+        conf[c] = s.get("confidence_threshold", conf_default)
+        nms[c] = s.get("iou_threshold", nms_default)
         min_size[c] = s.get("min_size", 0)
     return ClassSettings(jnp.asarray(conf), jnp.asarray(nms), jnp.asarray(min_size))
 

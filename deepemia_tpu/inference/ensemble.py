@@ -34,22 +34,37 @@ def run_ensemble(
     dedup_iou: float = 0.4,
     apply_weights: bool = True,
     capacity: int | None = None,
+    secondary_class_filter=None,
 ) -> Tuple[InstanceSet, float]:
     """Run all (name, engine, weight) members and fuse.
 
     Returns (merged InstanceSet, quality score of the image). A member that
     raises is skipped with a log line (reference swallows member failures,
     inference.py:1566-1568).
+
+    ``secondary_class_filter``: optional set of class ids — members beyond
+    the first only contribute detections of these classes (the reference's
+    ``ensemble_settings.small_classes_only`` gating, inference.py:819-826:
+    large classes use the primary predictor alone, small classes get the
+    full ensemble).
     """
+    import jax.numpy as jnp
+
     parts: List[InstanceSet] = []
     quality = 0.0
     cap = capacity or max(e.capacity for _, e, _ in engines)
-    for name, engine, weight in engines:
+    for member_idx, (name, engine, weight) in enumerate(engines):
         try:
             inst, quality = engine.infer(image, settings)
         except Exception as e:  # noqa: BLE001 - member isolation
             log.error("Ensemble member %s failed: %s", name, e)
             continue
+        if secondary_class_filter is not None and member_idx > 0:
+            allowed = jnp.asarray(
+                sorted(secondary_class_filter) or [-1], jnp.int32
+            )
+            keep = (inst.classes[:, None] == allowed[None, :]).any(axis=1)
+            inst = inst._replace(valid=inst.valid & keep)
         if apply_weights:
             inst = inst._replace(scores=inst.scores * float(weight))
         parts.append(inst)

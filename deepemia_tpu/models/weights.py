@@ -9,7 +9,8 @@ Conventions handled:
   * torch Conv2d [O,I,kh,kw]  -> flax Conv kernel [kh,kw,I,O]
   * torch Linear [O,I]        -> flax Dense kernel [I,O]
   * torch ConvTranspose2d [I,O,kh,kw] -> flax ConvTranspose [kh,kw,I,O]
-    (orientation verified numerically in tests/test_weights.py)
+    (per-layer orientation verified in tests/test_models.py; composed
+    stage-by-stage torch parity in tests/test_weights.py)
   * FrozenBatchNorm2d (weight,bias,running_mean,running_var) folded into the
     affine FrozenBatchNorm: scale = w/sqrt(var+eps), bias = b - mean*scale
   * box-head fc input ordering: Detectron2 flattens NCHW; BoxHead transposes

@@ -104,3 +104,84 @@ def test_reject_fragmented_masks():
     )
     out = reject_fragmented_masks(inst, (64, 64))
     assert np.asarray(out.valid).tolist() == [False, True]
+
+
+def test_choose_inference_mesh_auto_and_override():
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+
+    choose = InferencePipeline._choose_inference_mesh
+    mesh = choose({})  # auto: all 8 virtual devices
+    assert mesh is not None and mesh.size == len(jax.devices())
+    assert mesh.axis_names == ("tile",)
+    assert choose({"inference_chips": 1}) is None
+    mesh4 = choose({"inference_chips": 4})
+    assert mesh4 is not None and mesh4.size == 4
+
+
+def test_class_settings_small_class_defaults():
+    from deepemia_tpu.inference.engine import class_settings_from_config
+
+    inf = {
+        "class_specific_settings": {
+            "class_0": {"confidence_threshold": 0.9, "iou_threshold": 0.2}
+        }
+    }
+    # class 0 explicit, classes 1 (small) and 2 (large) fall back to the
+    # reference small/large defaults (inference.py:800-816)
+    s = class_settings_from_config(inf, 3, small_classes={1})
+    conf = np.asarray(s.confidence)
+    nms = np.asarray(s.nms_iou)
+    assert conf.tolist() == pytest.approx([0.9, 0.3, 0.5])
+    assert nms.tolist() == pytest.approx([0.2, 0.5, 0.7])
+    # without heuristic knowledge: legacy neutral defaults
+    s2 = class_settings_from_config(inf, 3)
+    assert np.asarray(s2.confidence).tolist() == pytest.approx([0.9, 0.5, 0.5])
+
+
+def test_ensemble_secondary_class_filter():
+    from deepemia_tpu.inference.ensemble import run_ensemble
+
+    class FakeEngine:
+        capacity = 8
+
+        def __init__(self, classes):
+            self._classes = classes
+
+        def infer(self, image, settings):
+            inst = empty_instances(8)
+            n = len(self._classes)
+            inst = inst._replace(
+                boxes=inst.boxes.at[:n].set(
+                    jnp.asarray(
+                        [[10.0 * i, 10.0 * i, 10.0 * i + 5, 10.0 * i + 5]
+                         for i in range(n)]
+                    )
+                ),
+                scores=inst.scores.at[:n].set(0.9),
+                classes=inst.classes.at[:n].set(
+                    jnp.asarray(self._classes, jnp.int32)
+                ),
+                valid=inst.valid.at[:n].set(True),
+                mask_probs=inst.mask_probs.at[:n].set(1.0),
+            )
+            return inst, 0.5
+
+    engines = [
+        ("R50", FakeEngine([0, 1]), 1.0),
+        ("R101", FakeEngine([0, 1]), 1.0),  # boxes overlap member 1's
+    ]
+    # small_classes_only: member 2 may only contribute class 1; its class-0
+    # duplicate is dropped BEFORE dedup, its class-1 duplicate by dedup
+    inst, _ = run_ensemble(
+        engines, None, None, (64, 64), apply_weights=False,
+        secondary_class_filter={1},
+    )
+    valid = np.asarray(inst.valid)
+    classes = np.asarray(inst.classes)[valid]
+    assert sorted(classes.tolist()) == [0, 1]
+    # no filter: dedup still collapses identical boxes
+    inst2, _ = run_ensemble(
+        engines, None, None, (64, 64), apply_weights=False,
+        secondary_class_filter=None,
+    )
+    assert int(np.asarray(inst2.valid).sum()) == 2
