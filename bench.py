@@ -1,8 +1,8 @@
-"""Benchmarks. Default: ONE JSON line (driver contract) — tile throughput.
+"""Benchmarks. Default output: the end-to-end 4k tile-pipeline line followed
+by the headline tile-throughput line (the driver records the LAST line).
 
-``--all`` additionally measures the BASELINE.md benchmark configs that map to
-on-device programs (tile-pipeline end-to-end on a 4k micrograph, ensemble
-throughput), one JSON line each.
+``--all`` additionally measures the remaining BASELINE.md benchmark configs
+(ensemble throughput, train step), one JSON line each.
 
 Baseline (BASELINE.md): the reference runs 5-10 s/image on an NVIDIA L4 —
 under 1 effective 1024² tile/s. Rebuild target: >= 20 tiles/s/chip on v5e.
@@ -210,11 +210,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
+    # end-to-end first; the headline LAST (driver parses the last line)
+    print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
     if args.all:
-        print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
         print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
+    print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,16 @@ log = logging.getLogger("deepemia_tpu.scalebar")
 GLYPHS = "0123456789.umnµ"
 _TEMPLATE_CACHE: Dict[int, List[Tuple[str, np.ndarray]]] = {}
 
+# multi-font atlas: annotation software uses many fonts (the reference's
+# EasyOCR is font-agnostic); template correlation against a single font
+# family misreads serif glyphs (measured in tests/test_scalebar_corpus.py:
+# serif 'u'->'m' confusions silently scale measurements by 10^3). Hershey
+# variants render via cv2; TrueType faces render via PIL when available.
+_TTF_CANDIDATES = (
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+)
+
 
 def get_scalebar_roi(config: dict, dataset_name: Optional[str], shape) -> Tuple[int, int, int, int]:
     """(x0, y0, x1, y1) ROI from per-dataset or default factors (reference
@@ -90,30 +100,53 @@ def find_scale_line(
     return best
 
 
+def _crop_glyph(canvas: np.ndarray) -> Optional[np.ndarray]:
+    ys, xs = np.nonzero(canvas > 40)
+    if ys.size == 0:
+        return None
+    return canvas[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
+def _render_hershey(ch: str, height: int, face) -> Optional[np.ndarray]:
+    draw = "u" if ch == "µ" else ch
+    scale = height / 22.0  # Hershey base height ~22px at scale 1
+    canvas = np.zeros((height + 8, height + 8), np.uint8)
+    cv2.putText(
+        canvas, draw, (2, height + 2), face, scale, 255,
+        max(1, int(round(2 * scale))), cv2.LINE_AA,
+    )
+    return _crop_glyph(canvas)
+
+
+def _render_ttf(ch: str, height: int, path: str) -> Optional[np.ndarray]:
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+    except ImportError:  # PIL optional: Hershey templates still work
+        return None
+    try:
+        font = ImageFont.truetype(path, int(height * 1.3))
+    except OSError:
+        return None
+    img = Image.new("L", (3 * height + 16, 3 * height + 16), 0)
+    ImageDraw.Draw(img).text((8, 8), ch, fill=255, font=font)
+    return _crop_glyph(np.array(img))
+
+
 def _glyph_templates(height: int) -> List[Tuple[str, np.ndarray]]:
-    """Render Hershey glyph templates at a given pixel height."""
+    """Multi-font glyph atlas at a given pixel height: Hershey simplex +
+    duplex (cv2) and available TrueType faces (PIL)."""
     if height in _TEMPLATE_CACHE:
         return _TEMPLATE_CACHE[height]
     out = []
     for ch in GLYPHS:
-        draw = "u" if ch == "µ" else ch
-        scale = height / 22.0  # Hershey base height ~22px at scale 1
-        canvas = np.zeros((height + 8, height + 8), np.uint8)
-        cv2.putText(
-            canvas,
-            draw,
-            (2, height + 2),
-            cv2.FONT_HERSHEY_SIMPLEX,
-            scale,
-            255,
-            max(1, int(round(2 * scale))),
-            cv2.LINE_AA,
-        )
-        ys, xs = np.nonzero(canvas > 40)
-        if ys.size == 0:
-            continue
-        t = canvas[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
-        out.append((ch, t))
+        for face in (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX):
+            t = _render_hershey(ch, height, face)
+            if t is not None:
+                out.append((ch, t))
+        for path in _TTF_CANDIDATES:
+            t = _render_ttf(ch, height, path)
+            if t is not None:
+                out.append((ch, t))
     _TEMPLATE_CACHE[height] = out
     return out
 
@@ -134,9 +167,48 @@ def _read_glyph(patch: np.ndarray, templates) -> Tuple[str, float]:
     return best_ch, best_score
 
 
+def roi_polarity_inverted(gray: np.ndarray) -> bool:
+    """True when the ROI is bright-background (dark bar/label): the
+    above-Otsu fraction then exceeds half. The reference's Canny+Hough line
+    detector was polarity-insensitive; the run scan flips the ROI instead."""
+    t, _ = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    return float((gray > t).mean()) > 0.5
+
+
+def _split_wide(thr, x, y, w, h):
+    """Split a merged multi-glyph blob (w > 1.6h — blur/antialiasing can
+    bridge adjacent glyphs) at deep valleys of the vertical ink profile."""
+    patch = thr[y : y + h, x : x + w]
+    ink = (patch > 0).sum(axis=0).astype(np.float32)
+    med = max(float(np.median(ink[ink > 0])) if (ink > 0).any() else 1.0, 1.0)
+    deep = ink < 0.25 * med
+    # valley centers: runs of deep columns away from the borders
+    pieces = []
+    start = 0
+    i = 0
+    while i < w:
+        if deep[i] and 0 < i < w - 1:
+            j = i
+            while j < w and deep[j]:
+                j += 1
+            cut = (i + j) // 2
+            if cut - start >= 3:
+                pieces.append((x + start, y, cut - start, h))
+            start = cut
+            i = j
+        else:
+            i += 1
+    if w - start >= 3:
+        pieces.append((x + start, y, w - start, h))
+    return pieces if len(pieces) > 1 else [(x, y, w, h)]
+
+
 def read_scale_text(gray: np.ndarray) -> str:
     """Segment connected components into glyphs (left to right) and classify
-    each against the Hershey atlas. Returns the raw recognized string."""
+    each against the multi-font atlas. Returns the raw recognized string."""
+    # 2x cubic upscale before binarization: reconnects thin serif strokes
+    # that noise/JPEG/blur would otherwise fragment into bare stems
+    gray = cv2.resize(gray, None, fx=2, fy=2, interpolation=cv2.INTER_CUBIC)
     thr = cv2.threshold(
         gray, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU
     )[1]
@@ -147,22 +219,41 @@ def read_scale_text(gray: np.ndarray) -> str:
     comps = []
     for i in range(1, n):
         x, y, w, h, area = stats[i]
-        if h < 5 or area < 8 or h > 0.95 * h_roi:
+        if h < 3 or area < 6 or h > 0.95 * h_roi:
             continue
         if w > 4 * h:  # the scale bar itself
             continue
         comps.append((x, y, w, h))
     if not comps:
         return ""
-    comps.sort(key=lambda c: c[0])
-    med_h = int(np.median([c[3] for c in comps]))
+    med_h = int(np.median([c[3] for c in comps if c[3] >= 5]) or 8)
+    split = []
+    for x, y, w, h in comps:
+        if w > 1.6 * h:
+            split.extend(_split_wide(thr, x, y, w, h))
+        else:
+            split.append((x, y, w, h))
+    split.sort(key=lambda c: c[0])
     templates = _glyph_templates(max(med_h, 8))
     chars = []
-    for x, y, w, h in comps:
+    prev_end = None
+    for x, y, w, h in split:
         patch = thr[y : y + h, x : x + w]
-        ch, score = _read_glyph(patch, templates)
+        is_small = h < 0.5 * med_h
+        ch, score = _read_glyph(
+            patch,
+            # a dot is the only glyph much shorter than the line height;
+            # conversely full-height components must not classify as '.'
+            [(c, t) for c, t in templates if (c == ".") == is_small],
+        )
         if score > 0.35:
+            # word spacing: a gap much wider than glyph spacing separates
+            # the value from the unit — keeps a misread unit stroke from
+            # being absorbed into the number ("200 nm" -> "2001n")
+            if prev_end is not None and x - prev_end > 0.45 * med_h:
+                chars.append(" ")
             chars.append(ch)
+            prev_end = x + w
     return "".join(chars)
 
 
@@ -175,9 +266,13 @@ def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
     value = float(m.group(1))
     rest = text[m.end() :]
     unit = 1.0  # default micrometres
-    if "n" in rest:
+    # priority u/µ > n > m: a unit token may contain misread strokes, and a
+    # 'u' (or 'µ') present anywhere marks micrometres unambiguously
+    if "u" in rest or "µ" in rest:
+        unit = 1.0
+    elif "n" in rest:
         unit = 1e-3  # nm -> um
-    elif "m" in rest and "u" not in rest and "µ" not in rest and "n" not in rest:
+    elif "m" in rest:
         unit = 1e3  # mm -> um
     return value * unit, m.group(1)
 
@@ -212,6 +307,8 @@ def detect_scale_bar(
         roi = gray[y0:y1, x0:x1]
         if roi.size == 0:
             return _ret("0", 1.0)
+        if roi_polarity_inverted(roi):
+            roi = 255 - roi  # dark-bar-on-bright annotation style
         thr = config.get("scalebar_thresholds", {})
         line = find_scale_line(
             roi,

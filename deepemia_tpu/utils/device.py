@@ -93,7 +93,14 @@ def maybe_init_distributed() -> bool:
     try:
         import jax
 
-        jax.distributed.initialize()
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if addr and nproc is not None and pid is not None:
+            # explicit CPU/GPU cluster spec (a TPU pod auto-discovers)
+            jax.distributed.initialize(addr, int(nproc), int(pid))
+        else:
+            jax.distributed.initialize()
         log.info(
             "jax.distributed initialized: process %d/%d",
             jax.process_index(),

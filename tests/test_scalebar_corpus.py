@@ -1,0 +1,146 @@
+"""Scale-bar OCR degradation corpus (VERDICT r1 weak #3).
+
+Renders scale labels in multiple REAL fonts (DejaVu Sans/Serif/Mono via PIL
+— fonts the Hershey-template reader has never seen) plus two Hershey
+variants, under degradations (noise, inversion, JPEG artifacts, blur), and
+measures end-to-end recognition accuracy through ``detect_scale_bar``.
+A nm-vs-um unit confusion silently scales every measurement by 10^3, so
+unit correctness is part of the pass criterion.
+"""
+
+import io
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from deepemia_tpu.inference.scalebar import detect_scale_bar
+
+FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+TTF_FONTS = {
+    "dejavu_sans": f"{FONT_DIR}/DejaVuSans.ttf",
+    "dejavu_serif": f"{FONT_DIR}/DejaVuSerif.ttf",
+    "dejavu_mono": f"{FONT_DIR}/DejaVuSansMono.ttf",
+}
+HERSHEY_FONTS = {
+    "hershey_simplex": cv2.FONT_HERSHEY_SIMPLEX,
+    "hershey_duplex": cv2.FONT_HERSHEY_DUPLEX,
+}
+
+BAR_LEN = 200  # px
+LABELS = [
+    ("500 um", 500.0),
+    ("200 nm", 0.2),
+    ("2 um", 2.0),
+    ("100 nm", 0.1),
+    ("1 mm", 1000.0),
+]
+CFG = {
+    "scale_bar_rois": {
+        "default": {
+            "x_start_factor": 0.0,
+            "y_start_factor": 0.0,
+            "width_factor": 1.0,
+            "height_factor": 1.0,
+        }
+    },
+    "scalebar_thresholds": {
+        "intensity": 100,
+        "merge_gap": 15,
+        "min_line_length": 30,
+        "edge_margin_factor": 0.0,
+    },
+}
+
+
+def _render(label, font, px=20, invert=False, noise=0.0, jpeg=None, blur=0):
+    img = np.full((90, 420), 20, np.uint8)
+    fg = 230
+    if font in TTF_FONTS:
+        from PIL import Image, ImageDraw, ImageFont
+
+        pil = Image.fromarray(img)
+        draw = ImageDraw.Draw(pil)
+        f = ImageFont.truetype(TTF_FONTS[font], px)
+        draw.text((140, 10), label, fill=fg, font=f)
+        img = np.array(pil)
+    else:
+        cv2.putText(
+            img, label, (140, 10 + px), HERSHEY_FONTS[font], px / 22.0, fg,
+            max(1, px // 11), cv2.LINE_AA,
+        )
+    cv2.rectangle(img, (110, 60), (110 + BAR_LEN - 1, 63), fg, -1)
+    if invert:
+        img = 255 - img
+    if blur:
+        img = cv2.GaussianBlur(img, (2 * blur + 1, 2 * blur + 1), 0)
+    if noise:
+        rng = np.random.default_rng(hash((label, font)) % 2**31)
+        img = np.clip(
+            img.astype(np.float32) + rng.normal(0, noise, img.shape), 0, 255
+        ).astype(np.uint8)
+    if jpeg is not None:
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, jpeg])
+        assert ok
+        img = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
+DEGRADATIONS = {
+    "clean": {},
+    "noise": {"noise": 10.0},
+    "invert": {"invert": True},
+    "jpeg40": {"jpeg": 40},
+    "blur1": {"blur": 1},
+}
+
+
+def _corpus():
+    fonts = list(TTF_FONTS) + list(HERSHEY_FONTS)
+    for font in fonts:
+        for label, value_um in LABELS:
+            for deg_name, kw in DEGRADATIONS.items():
+                yield font, label, value_um, deg_name, kw
+
+
+def test_scalebar_corpus_accuracy():
+    """End-to-end accuracy >= 95% over fonts x labels x degradations, with
+    NO unit confusions among successful value reads."""
+    total = 0
+    correct = 0
+    unit_confusions = []
+    failures = []
+    for font, label, value_um, deg_name, kw in _corpus():
+        img = _render(label, font, **kw)
+        psum, um_pix = detect_scale_bar(img, CFG)
+        total += 1
+        expected_um_pix = value_um / BAR_LEN
+        got_value = um_pix * BAR_LEN
+        if psum != "0" and abs(um_pix - expected_um_pix) <= 0.02 * expected_um_pix:
+            correct += 1
+        else:
+            failures.append((font, label, deg_name, psum, um_pix))
+            if psum != "0" and got_value > 0 and ("um" in label or "nm" in label):
+                # any power-of-1000 scaling on the EM-critical um/nm labels
+                # is a silent unit confusion
+                ratio = got_value / value_um
+                for p1000 in (1e-6, 1e-3, 1e3, 1e6):
+                    if 0.5 * p1000 < ratio < 2 * p1000:
+                        unit_confusions.append((font, label, deg_name, psum))
+    acc = correct / total
+    assert not unit_confusions, f"unit confusions: {unit_confusions}"
+    assert acc >= 0.95, (
+        f"accuracy {acc:.1%} ({correct}/{total}); failures: {failures[:15]}"
+    )
+
+
+def test_unit_parsing_nm_vs_um_vs_mm():
+    from deepemia_tpu.inference.scalebar import parse_scale_value
+
+    assert parse_scale_value("500um")[0] == pytest.approx(500.0)
+    assert parse_scale_value("500 µm")[0] == pytest.approx(500.0)
+    assert parse_scale_value("200nm")[0] == pytest.approx(0.2)
+    assert parse_scale_value("2mm")[0] == pytest.approx(2000.0)
+    assert parse_scale_value("1.5 um")[0] == pytest.approx(1.5)
+    assert parse_scale_value("no digits here") is None
