@@ -137,11 +137,13 @@ class TileEngine:
         over the micrograph; collectives stitch the padded result sets).
 
         ``full_pass_max_dim``: the whole-image pass (reference
-        inference.py:2341, for objects larger than a tile) is skipped for
-        images whose long side exceeds this — at 4k+ the pass costs GBs of
-        activations while the upscaled tile grid already covers the field;
-        large objects at that scale exceed a tile anyway and are recovered
-        by the p5/p6 levels of the tile passes."""
+        inference.py:2341, for objects larger than a tile) runs at native
+        resolution up to this long side; bigger images run it DOWNSCALED to
+        this size instead — at 4k+ a native pass costs GBs of activations,
+        while objects large enough to exceed a tile are still huge at half
+        resolution (an interior object larger than a tile cannot be
+        recovered from tiles alone: every partial view touches a tile edge
+        and is edge-filtered)."""
         self.model = model
         self.params = params
         self.tile_size = tile_size
@@ -179,7 +181,12 @@ class TileEngine:
         fh = h + (-h) % 64
         fw = w + (-w) % 64
 
-        do_full_pass = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
+        native_full = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
+        if not native_full:
+            # downscaled full pass: /64-legal geometry at the cap
+            ds = self.full_pass_max_dim / max(h, w)
+            dh = max(64, int(round(h * ds / 64)) * 64)
+            dw = max(64, int(round(w * ds / 64)) * 64)
 
         def program(params, image, settings: ClassSettings):
             quality = image_quality_score(image)
@@ -189,9 +196,18 @@ class TileEngine:
                 qscale = adaptive_threshold_scale(quality)
 
             parts = []
-            if do_full_pass:
+            if native_full:
                 padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
                 parts.append(self._forward(params, padded))
+            else:
+                small = jax.image.resize(
+                    image.astype(jnp.float32), (dh, dw, 3), "linear"
+                )
+                inst = self._forward(params, small)
+                back = jnp.asarray(
+                    [w / dw, h / dh, w / dw, h / dh], jnp.float32
+                )
+                parts.append(inst._replace(boxes=inst.boxes * back))
             if self.use_tiling and grid.num_tiles > 1:
                 tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
 

@@ -378,6 +378,52 @@ class InferencePipeline:
             )
         return starts, lengths, n_runs
 
+    def _mask_windows(self, inst: InstanceSet, window: int = 192):
+        """Per-instance [K,S,S] bool crops at native pixel scale (shrink-to-
+        fit for masks wider than the window) + origins [K,2] (x,y in scaled
+        coords) + scales [K]. The O(K·S²) export that keeps the exact host
+        measurement backend viable on 4k images (full [K,H,W] masks would
+        be gigabytes)."""
+        import jax
+        import jax.numpy as jnp
+
+        from deepemia_tpu.ops.masks import paste_masks
+
+        key = ("win", inst.capacity, window)
+        if not hasattr(self, "_win_cache"):
+            self._win_cache = {}
+        if key not in self._win_cache:
+            thr = self.mask_threshold
+            s_win = window
+
+            def program(probs, boxes, valid):
+                def one(args):
+                    p_, b_, v_ = args
+                    x0, y0, x1, y1 = b_
+                    bw = jnp.maximum(x1 - x0, 1e-4)
+                    bh = jnp.maximum(y1 - y0, 1e-4)
+                    scale = jnp.minimum(
+                        1.0, (s_win - 4.0) / jnp.maximum(bw, bh)
+                    )
+                    ox = jnp.floor((x0 + x1) / 2.0 * scale - s_win / 2.0)
+                    oy = jnp.floor((y0 + y1) / 2.0 * scale - s_win / 2.0)
+                    wbox = jnp.array(
+                        [x0 * scale - ox, y0 * scale - oy,
+                         x1 * scale - ox, y1 * scale - oy]
+                    )
+                    win = paste_masks(
+                        p_[None], wbox[None], s_win, s_win, thr
+                    )[0] & v_
+                    return win, jnp.array([ox, oy]), scale
+
+                return jax.lax.map(one, (probs, boxes, valid))
+
+            self._win_cache[key] = jax.jit(program)
+        wins, origins, scales = self._win_cache[key](
+            inst.mask_probs, inst.boxes, inst.valid
+        )
+        return np.asarray(wins), np.asarray(origins), np.asarray(scales)
+
     def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
         """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
         memory stays ~chunk·H·W instead of K·H·W."""
@@ -488,10 +534,10 @@ class InferencePipeline:
 
                     valid = np.asarray(inst.valid)
                     kept = [i for i in range(len(valid)) if valid[i]]
-                    # full-res host masks only where actually consumed
-                    need_masks = visualize or self.measurement_backend == "host"
+                    # full-res host masks only for overlays; the host
+                    # measurement backend uses O(K·S²) window crops instead
                     masks = None
-                    if need_masks:
+                    if visualize:
                         with timers.time("mask_export"):
                             masks = self._full_masks(inst, hw)
                     with timers.time("rle"):
@@ -525,6 +571,7 @@ class InferencePipeline:
                     if self.measurement_backend == "host":
                         from deepemia_tpu.inference.measure_host import (
                             measurement_rows_host,
+                            measurement_rows_host_windows,
                         )
                         from deepemia_tpu.ops.image import to_grayscale
 
@@ -533,18 +580,35 @@ class InferencePipeline:
                             if measure_contrast
                             else None
                         )
-                        rows = measurement_rows_host(
-                            masks,
-                            np.asarray(inst.classes),
-                            valid,
-                            name,
-                            self.class_names,
-                            um_pix,
-                            psum,
-                            float(hw[0] * hw[1]),
-                            gray=gray,
-                            measure_contrast=measure_contrast,
-                        )
+                        if masks is not None:  # already exported for viz
+                            rows = measurement_rows_host(
+                                masks,
+                                np.asarray(inst.classes),
+                                valid,
+                                name,
+                                self.class_names,
+                                um_pix,
+                                psum,
+                                float(hw[0] * hw[1]),
+                                gray=gray,
+                                measure_contrast=measure_contrast,
+                            )
+                        else:
+                            wins, origins, scales = self._mask_windows(inst)
+                            rows = measurement_rows_host_windows(
+                                wins,
+                                origins,
+                                scales,
+                                np.asarray(inst.classes),
+                                valid,
+                                name,
+                                self.class_names,
+                                um_pix,
+                                psum,
+                                float(hw[0] * hw[1]),
+                                gray=gray,
+                                measure_contrast=measure_contrast,
+                            )
                     else:
                         measures = measure_lib.measure_instances_device(
                             inst,

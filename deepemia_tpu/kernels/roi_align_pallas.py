@@ -1,23 +1,35 @@
-"""Pallas TPU RoIAlign: per-RoI window DMA + MXU interpolation matmul.
+"""Pallas TPU RoIAlign: adaptive-window DMA + MXU interpolation matmuls.
 
-The production RoIAlign hot path (replaces the XLA point-gather of
-models/roi_align.py when enabled). Design:
+The production RoIAlign hot path, replacing the XLA pyramid point-gather of
+models/roi_align.py on TPU. The gather is descriptor-bound: 4 corner rows per
+sample point = 784 gathered rows per box-stage RoI (ROUND1_NOTES #2 measured
+~94 GB/s effective — far below HBM peak). This kernel instead moves each
+RoI's *rectangular cell window* with ONE async copy and reconstructs the
+bilinear sampling as two small interpolation matmuls on the MXU:
 
-  * FPN features are kept per level as 2-D ``[H, W·C]`` HBM buffers so a
-    RoI's spatial window is ONE rectangular async copy into VMEM;
-  * each grid step processes one RoI: scalar-prefetched ints select the
-    assigned level and window origin, the window is DMA'd, and bilinear
-    sampling is expressed as a small on-the-fly interpolation matrix
-    ``[P², W_win²]`` (4 nonzeros per row, built from iota comparisons)
-    multiplied with the window ``[W_win², C]`` on the MXU;
-  * out-of-window/out-of-image samples get zero weight, matching the
-    reference CUDA op's zeroing semantics.
+  * FPN features are consumed as native 3-D ``[H, W, C]`` HBM buffers — the
+    layout conv producers already emit, so no relayout sits in front of the
+    kernel (a 2-D ``[H, W*C]`` reshape costs a full feature relayout per
+    call, ~44 MB/tile); the W axis carries the DMA alignment slack;
+  * three window classes, picked per RoI at runtime from its cell extent at
+    the assigned level: SMALL 16 (boxes <= 14 cells), MEDIUM 32 (<= 30
+    cells — the FPN assignment rule lands square-ish boxes at 14-28 cells,
+    so this is the bulk), LARGE 80 (level-5 / elongated boxes; anything
+    bigger is bumped to a coarser level first);
+  * SMALL and MEDIUM windows are double-buffered: RoI i+1's copy is issued
+    before RoI i's compute, so DMA rides under the matmuls;
+  * bilinear sampling = tent-kernel row matrix [P, WY] x window [WY, WX, C]
+    on the MXU, then a column matrix [P, WX] contraction — out-of-level
+    samples get zero weight and off-edge weight accumulates onto the edge
+    cell, matching the CUDA op's clamp semantics;
+  * the zoo configs' POOLER_SAMPLING_RATIO=0 (adaptive ceil(roi/out)
+    samples per bin) is emulated exactly for adaptive grids of 1 by
+    collapsing sub-sample positions per axis (same rule as
+    models/roi_align.py ``adaptive_ratio``).
 
-The fixed window cap (``WINDOW`` cells) covers every box the FPN level
-assignment can route to a level (boxes land on a level when their scale is
-~112-448 px, i.e. 7-28 cells; elongated boxes may exceed the cap on one side
-and are handled by the caller falling back to the XLA path for that batch —
-in practice detection boxes within a level fit 32 cells).
+Replaces Detectron2's CUDA ``ROIAlign`` (implicit in every reference
+``predictor(image)`` call, e.g. /root/reference/src/functions/
+inference.py:2107).
 """
 
 from __future__ import annotations
@@ -32,25 +44,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepemia_tpu.models.anchors import STRIDES
 
-WINDOW = 64  # window x-extent in cells
-WINDOW_H = 72  # window y-extent: WINDOW + 8 slack so the origin can be
-# aligned down to the sublane tiling (Mosaic requires dim-0 DMA offsets
-# divisible by 8). VMEM: 72*64*256*4B = 4.7MB f32 scratch.
+# window y-extents in cells (x-extent = y-extent + alignment quantum)
+SMALL_W = 16
+MED_W = 32
+LARGE_W = 72  # covers boxes to ~70 cells => full-image boxes to ~2240 px at
+# p5; TileEngine inputs are <= 2048 px so production boxes always fit.
+# (80 would cover 2528 px but overflows the 16 MB VMEM budget at f32.)
 
 
-def _prepare_rois(boxes, level_shapes, strides, output_size, sampling_ratio):
-    """Host/JAX-side per-RoI geometry: level id, window origin, and the
-    continuous sample start/step in window-local cell coordinates."""
+def _align_quantum(dtype) -> int:
+    """Sublane alignment for DMA offsets on the tiled (W) axis."""
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+def _prepare_rois(
+    boxes, level_shapes, strides, output_size, sampling_ratio, adaptive, q
+):
+    """Host/JAX-side per-RoI geometry.
+
+    Returns int arrays (cls, level, wy, wx, heights, widths) and a float
+    geometry matrix [N, 6]: sy0, sx0, step_y, step_x, collapse_y, collapse_x
+    (sample start/step in assigned-level cell coordinates; collapse flags
+    implement the adaptive-sampling-ratio rule).
+    """
     from deepemia_tpu.models.roi_align import assign_fpn_levels
 
     p = output_size * sampling_ratio
+
     lvl = assign_fpn_levels(boxes) - 2  # [N] 0..3
-    # bump elongated boxes to the coarsest level whose stride fits the box
-    # inside the window (FPN assignment is by sqrt-area, so a high-aspect box
-    # can span more cells than the window on its long side; sampling it one
-    # level up trades a little resolution for exact coverage)
+    # bump boxes that cannot fit even the LARGE window to a coarser level
     max_px = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
-    fit_cells = float(WINDOW - 4)
+    fit_cells = float(LARGE_W - 2)
     base_stride = float(strides[0])
     lvl_fit = jnp.ceil(
         jnp.log2(jnp.maximum(max_px / (base_stride * fit_cells), 1e-6))
@@ -65,140 +89,214 @@ def _prepare_rois(boxes, level_shapes, strides, output_size, sampling_ratio):
     y0 = boxes[:, 1] * scale - 0.5
     bw = (boxes[:, 2] - boxes[:, 0]) * scale
     bh = (boxes[:, 3] - boxes[:, 1]) * scale
-    # first/last sample centers
-    sx0 = x0 + (0.5 / p) * bw
-    sy0 = y0 + (0.5 / p) * bh
-    step_x = bw / p
-    step_y = bh / p
-    # window origin: floor of first sample, clamped so the window fits;
-    # the row origin is aligned down to 8 (sublane tiling) with WINDOW_H
-    # providing the slack
-    wx = jnp.clip(
-        jnp.floor(sx0).astype(jnp.int32), 0, jnp.maximum(widths - WINDOW, 0)
-    )
+
+    out_f = jnp.float32(output_size)
+    if adaptive:
+        collapse_x = (bw <= out_f).astype(jnp.float32)
+        collapse_y = (bh <= out_f).astype(jnp.float32)
+    else:
+        collapse_x = jnp.zeros_like(bw)
+        collapse_y = jnp.zeros_like(bh)
+    # fixed grid: sample k at (k+0.5)/p along the box; collapsed grid:
+    # sub-samples sit at their bin center (k//s + 0.5)/out
+    sx0 = jnp.where(collapse_x > 0, x0 + 0.5 * bw / out_f, x0 + 0.5 * bw / p)
+    sy0 = jnp.where(collapse_y > 0, y0 + 0.5 * bh / out_f, y0 + 0.5 * bh / p)
+    step_x = jnp.where(collapse_x > 0, bw / out_f, bw / p)
+    step_y = jnp.where(collapse_y > 0, bh / out_f, bh / p)
+
+    ext = jnp.maximum(bw, bh)
+    cls = jnp.where(
+        ext <= SMALL_W - 2.0, 0, jnp.where(ext <= MED_W - 2.0, 1, 2)
+    ).astype(jnp.int32)
+    wy_cap = jnp.where(cls == 0, SMALL_W, jnp.where(cls == 1, MED_W, LARGE_W))
+    wx_cap = wy_cap + q
     wy = jnp.clip(
-        jnp.floor(sy0).astype(jnp.int32), 0, jnp.maximum(heights - WINDOW_H, 0)
+        jnp.floor(sy0).astype(jnp.int32), 0, jnp.maximum(heights - wy_cap, 0)
     )
-    wy = (wy // 8) * 8
-    return {
-        "level": lvl.astype(jnp.int32),
-        "wy": wy,
-        "wx": wx,
-        "heights": heights,
-        "widths": widths,
-        "sy0": sy0,
-        "sx0": sx0,
-        "step_y": step_y,
-        "step_x": step_x,
-    }
+    wx = jnp.clip(
+        jnp.floor(sx0).astype(jnp.int32), 0, jnp.maximum(widths - wx_cap, 0)
+    )
+    wx = (wx // q) * q  # W is the tiled (sublane) axis: align its offset
+    geom = jnp.stack([sy0, sx0, step_y, step_x, collapse_y, collapse_x], axis=1)
+    return cls, lvl.astype(jnp.int32), wy, wx, heights, widths, geom
 
 
 def _kernel(
     # scalar prefetch
-    level_ref, wy_ref, wx_ref, h_ref, w_ref,
+    cls_ref, lvl_ref, wy_ref, wx_ref, h_ref, w_ref,
     # vector inputs
-    geom_ref,  # [N, 4] f32: sy0, sx0, step_y, step_x (VMEM)
-    f0, f1, f2, f3,  # per-level [H, W*C] HBM refs
-    out_ref,  # [P, P*C] VMEM block for this RoI
-    window,  # scratch [WINDOW, WINDOW*C]
-    sem,
-    *, p: int, c: int, out_size: int, s: int,
+    geom_ref,  # [N, 6] f32 (VMEM)
+    f0, f1, f2, f3,  # per-level [H, W, C] HBM refs
+    out_ref,  # [1, P, P*C] VMEM block for this RoI
+    # scratch: double-buffered small/medium windows, single large window
+    s_win0, s_win1, m_win0, m_win1, large_win, sem_s, sem_m, sem_l,
+    *, p: int, c: int, out_size: int, s: int, q: int,
 ):
     i = pl.program_id(0)
-    lvl = level_ref[i]
-    wy = wy_ref[i]
-    wx = wx_ref[i]
-    lh = h_ref[i]
-    lw = w_ref[i]
+    nprog = pl.num_programs(0)
+    levels = (f0, f1, f2, f3)
 
-    # DMA the RoI window from the assigned level (exactly one branch fires;
-    # copy completes within the branch — DMA semaphores are waited via the
-    # copy descriptor, not semaphore_wait)
-    def do_copy(ref):
-        cp = pltpu.make_async_copy(
+    def make_copy(ref, j, dst, sem, wy_cells, wx_cells):
+        return pltpu.make_async_copy(
             ref.at[
-                pl.ds(pl.multiple_of(wy, 8), WINDOW_H),
-                pl.ds(wx * c, WINDOW * c),
+                pl.ds(wy_ref[j], wy_cells),
+                pl.ds(pl.multiple_of(wx_ref[j], q), wx_cells),
+                slice(None),
             ],
-            window,
+            dst,
             sem,
         )
-        cp.start()
-        cp.wait()
 
-    @pl.when(lvl == 0)
+    def start(j, dst, sem, wy_cells, wx_cells):
+        for li, ref in enumerate(levels):
+            @pl.when(lvl_ref[j] == li)
+            def _(ref=ref):
+                make_copy(ref, j, dst, sem, wy_cells, wx_cells).start()
+
+    def issue(j, slot):
+        """Issue RoI j's window DMA into its class buffer (small/medium are
+        slotted; large has one buffer)."""
+        @pl.when(cls_ref[j] == 0)
+        def _():
+            @pl.when(slot == 0)
+            def _():
+                start(j, s_win0, sem_s.at[0], SMALL_W, SMALL_W + q)
+
+            @pl.when(slot == 1)
+            def _():
+                start(j, s_win1, sem_s.at[1], SMALL_W, SMALL_W + q)
+
+        @pl.when(cls_ref[j] == 1)
+        def _():
+            @pl.when(slot == 0)
+            def _():
+                start(j, m_win0, sem_m.at[0], MED_W, MED_W + q)
+
+            @pl.when(slot == 1)
+            def _():
+                start(j, m_win1, sem_m.at[1], MED_W, MED_W + q)
+
+    # prologue: issue RoI 0's window (any class)
+    @pl.when(i == 0)
     def _():
-        do_copy(f0)
+        issue(0, jnp.int32(0))
 
-    @pl.when(lvl == 1)
+        @pl.when(cls_ref[0] == 2)
+        def _():
+            start(0, large_win, sem_l, LARGE_W, LARGE_W + q)
+
+    # prefetch the NEXT RoI's small/medium window before this RoI's compute
+    # (index clamped: the guard keeps the branch dead at the last step, but
+    # the scalar read itself must stay in bounds)
+    nxt = jnp.minimum(i + 1, nprog - 1)
+    @pl.when((i + 1 < nprog) & (cls_ref[nxt] != 2))
     def _():
-        do_copy(f1)
+        issue(nxt, nxt % 2)
 
-    @pl.when(lvl == 2)
+    def compute(win_ref, wy_cells, wx_cells):
+        """Bilinear sampling of this RoI from its VMEM window."""
+        wy = wy_ref[i]
+        wx = wx_ref[i]
+        lh = h_ref[i]
+        lw = w_ref[i]
+        sy0 = geom_ref[i, 0]
+        sx0 = geom_ref[i, 1]
+        step_y = geom_ref[i, 2]
+        step_x = geom_ref[i, 3]
+        coll_y = geom_ref[i, 4]
+        coll_x = geom_ref[i, 5]
+
+        k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
+        kf = k.astype(jnp.float32)
+        kc = (k // s).astype(jnp.float32)  # collapsed (adaptive grid of 1)
+        ky = jnp.where(coll_y > 0, kc, kf)
+        kx = jnp.where(coll_x > 0, kc, kf)
+        sy = sy0 - wy.astype(jnp.float32) + ky * step_y  # window-local cells
+        sx = sx0 - wx.astype(jnp.float32) + kx * step_x
+
+        cells_y = jax.lax.broadcasted_iota(
+            jnp.int32, (p, wy_cells), 1
+        ).astype(jnp.float32)
+        cells_x = jax.lax.broadcasted_iota(
+            jnp.int32, (p, wx_cells), 1
+        ).astype(jnp.float32)
+        fy = sy[:, None] - cells_y
+        fx = sx[:, None] - cells_x
+        wy_mat = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)  # tent = bilinear
+        wx_mat = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
+        # CUDA-op clamp semantics: weight falling off the LEVEL edge
+        # accumulates onto the edge cell; samples beyond [-1, size] zero out
+        lastf_y = jnp.minimum(lh - wy, wy_cells).astype(jnp.float32) - 1.0
+        lastf_x = jnp.minimum(lw - wx, wx_cells).astype(jnp.float32) - 1.0
+        first_y = cells_y == 0.0
+        first_x = cells_x == 0.0
+        last_y = cells_y == lastf_y
+        last_x = cells_x == lastf_x
+        wy_mat = wy_mat + first_y * jnp.clip(-sy, 0.0, 1.0)[:, None]
+        wx_mat = wx_mat + first_x * jnp.clip(-sx, 0.0, 1.0)[:, None]
+        wy_mat = wy_mat + last_y * jnp.clip(sy[:, None] - lastf_y, 0.0, 1.0)
+        wx_mat = wx_mat + last_x * jnp.clip(sx[:, None] - lastf_x, 0.0, 1.0)
+        in_y = cells_y <= lastf_y
+        in_x = cells_x <= lastf_x
+        ly = sy + wy.astype(jnp.float32)
+        lx = sx + wx.astype(jnp.float32)
+        vy = ((ly >= -1.0) & (ly <= lh.astype(jnp.float32)))[:, None]
+        vx = ((lx >= -1.0) & (lx <= lw.astype(jnp.float32)))[:, None]
+        wy_mat = (wy_mat * vy * in_y).astype(win_ref.dtype)
+        wx_mat = (wx_mat * vx * in_x).astype(jnp.float32)
+
+        # rows: [P, WY] x window [WY, WX, C] -> [P, WX, C] (f32 accumulate)
+        rowmix = jax.lax.dot_general(
+            wy_mat,
+            win_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # columns: samples[jx, iy, ch] = sum_w wx_mat[jx, w] rowmix[iy, w, ch]
+        samples = jax.lax.dot_general(
+            wx_mat,
+            rowmix,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P_x, P_y, C]
+        samples = jnp.transpose(samples, (1, 0, 2))  # [P_y, P_x, C]
+        pooled = samples.reshape(out_size, s, out_size, s, c).mean(axis=(1, 3))
+        out_ref[...] = pooled.reshape(1, out_size, out_size * c).astype(
+            out_ref.dtype
+        )
+
+    @pl.when(cls_ref[i] == 0)
     def _():
-        do_copy(f2)
+        @pl.when(i % 2 == 0)
+        def _():
+            make_copy(f0, i, s_win0, sem_s.at[0], SMALL_W, SMALL_W + q).wait()
+            compute(s_win0, SMALL_W, SMALL_W + q)
 
-    @pl.when(lvl == 3)
+        @pl.when(i % 2 == 1)
+        def _():
+            make_copy(f0, i, s_win1, sem_s.at[1], SMALL_W, SMALL_W + q).wait()
+            compute(s_win1, SMALL_W, SMALL_W + q)
+
+    @pl.when(cls_ref[i] == 1)
     def _():
-        do_copy(f3)
+        @pl.when(i % 2 == 0)
+        def _():
+            make_copy(f0, i, m_win0, sem_m.at[0], MED_W, MED_W + q).wait()
+            compute(m_win0, MED_W, MED_W + q)
 
-    sy0 = geom_ref[i, 0]
-    sx0 = geom_ref[i, 1]
-    step_y = geom_ref[i, 2]
-    step_x = geom_ref[i, 3]
+        @pl.when(i % 2 == 1)
+        def _():
+            make_copy(f0, i, m_win1, sem_m.at[1], MED_W, MED_W + q).wait()
+            compute(m_win1, MED_W, MED_W + q)
 
-    # sample coordinates in window-local cells: [P]
-    k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0].astype(jnp.float32)
-    sy = sy0 - wy.astype(jnp.float32) + k * step_y
-    sx = sx0 - wx.astype(jnp.float32) + k * step_x
-    # interpolation weights: rows [P, WINDOW_H], cols [P, WINDOW]
-    cells_y = jax.lax.broadcasted_iota(jnp.int32, (p, WINDOW_H), 1).astype(jnp.float32)
-    cells = jax.lax.broadcasted_iota(jnp.int32, (p, WINDOW), 1).astype(jnp.float32)
-    fy = sy[:, None] - cells_y
-    fx = sx[:, None] - cells
-    wy_mat = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)  # tent kernel = bilinear
-    wx_mat = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
-    # border-replicate clamp (reference op): weight falling off the window's
-    # level-boundary edge accumulates onto the edge cell
-    win_h = lh - wy  # cells of the window that lie inside the level
-    win_w = lw - wx
-    lastf_y = jnp.minimum(win_h, WINDOW_H).astype(jnp.float32) - 1.0
-    lastf_x = jnp.minimum(win_w, WINDOW).astype(jnp.float32) - 1.0
-    last_y = cells_y == lastf_y
-    last_x = cells == lastf_x
-    first_cell = cells == 0.0
-    first_cell_y = cells_y == 0.0
-    wy_mat = wy_mat + first_cell_y * jnp.clip(-sy, 0.0, 1.0)[:, None]
-    wx_mat = wx_mat + first_cell * jnp.clip(-sx, 0.0, 1.0)[:, None]
-    wy_mat = wy_mat + last_y * jnp.clip(sy[:, None] - lastf_y, 0.0, 1.0)
-    wx_mat = wx_mat + last_x * jnp.clip(sx[:, None] - lastf_x, 0.0, 1.0)
-    # zero cells past the level boundary and fully-outside samples
-    in_y = cells_y <= lastf_y
-    in_x = cells <= lastf_x
-    ly = sy + wy.astype(jnp.float32)
-    lx = sx + wx.astype(jnp.float32)
-    vy = ((ly >= -1.0) & (ly <= lh.astype(jnp.float32)))[:, None]
-    vx = ((lx >= -1.0) & (lx <= lw.astype(jnp.float32)))[:, None]
-    wy_mat = wy_mat * vy * in_y
-    wx_mat = wx_mat * vx * in_x
+    @pl.when(cls_ref[i] == 2)
+    def _():
+        @pl.when(i > 0)  # RoI 0's copy was issued in the prologue
+        def _():
+            start(i, large_win, sem_l, LARGE_W, LARGE_W + q)
 
-    # rows: [P, WINDOW_H] @ window [WINDOW_H, WINDOW*C] -> [P, WINDOW*C]
-    win = window[...].astype(jnp.float32)
-    rowmix = jax.lax.dot_general(
-        wy_mat, win, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).reshape(p, WINDOW, c)
-    # columns: samples[jx, iy, c] = sum_w wx_mat[jx, w] * rowmix[iy, w, c]
-    samples = jax.lax.dot_general(
-        wx_mat,
-        rowmix,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [P_x, P_y, C]
-    samples = jnp.transpose(samples, (1, 0, 2))  # [P_y, P_x, C]
-
-    # average-pool s×s -> [out, out, C], write as [1, out, out*C]
-    pooled = samples.reshape(out_size, s, out_size, s, c).mean(axis=(1, 3))
-    out_ref[...] = pooled.reshape(1, out_size, out_size * c).astype(out_ref.dtype)
+        make_copy(f0, i, large_win, sem_l, LARGE_W, LARGE_W + q).wait()
+        compute(large_win, LARGE_W, LARGE_W + q)
 
 
 def roi_align_pallas(
@@ -207,6 +305,7 @@ def roi_align_pallas(
     output_size: int = 7,
     sampling_ratio: int = 2,
     levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
+    adaptive_ratio: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in multilevel RoIAlign via the Pallas kernel.
@@ -216,27 +315,49 @@ def roi_align_pallas(
     n = boxes.shape[0]
     c = features[levels[0]].shape[-1]
     p = output_size * sampling_ratio
+    # Boundary op: when batch-1 FPN conv outputs feed this custom call
+    # directly, XLA's space-to-batch conv rewrite bails and the
+    # feature-producing convs run ~5x slower (measured +7 ms/tile; an
+    # optimization_barrier, a convert, or an identity row-gather do not
+    # stop the poisoning — the pass inspects transitive consumers). An
+    # identity 1x1 conv is the best boundary found (recovers ~10 tiles/s
+    # of the regression); batch>1 forwards (vmapped tile batches) do not
+    # need space-to-batch at all and avoid the issue entirely.
+    c_feat = features[levels[0]].shape[-1]
+    eye = jnp.eye(c_feat, dtype=features[levels[0]].dtype).reshape(
+        1, 1, c_feat, c_feat
+    )
+    features = {
+        k: jax.lax.conv_general_dilated(
+            v[None], eye, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+        for k, v in features.items()
+    }
+    dtype = features[levels[0]].dtype
+    q = _align_quantum(dtype)
     level_shapes = [features[nm].shape[:2] for nm in levels]
     strides = [STRIDES[nm] for nm in levels]
-    geom = _prepare_rois(boxes, level_shapes, strides, output_size, sampling_ratio)
+    cls, lvl, wy, wx, heights, widths, geom = _prepare_rois(
+        boxes, level_shapes, strides, output_size, sampling_ratio,
+        adaptive_ratio, q,
+    )
 
-    # per-level [H, W*C] views, padded so any clamped window fits
-    flat_levels = []
+    # pad small levels so any clamped window slice stays in bounds (only
+    # p4/p5-sized maps are touched; p2/p3 pass through with their native
+    # conv-output layout — no relayout, no copy)
+    padded = []
     for nm in levels:
         f = features[nm]
         h, w, _ = f.shape
-        ph = max(WINDOW_H - h, 0)
-        pw = max(WINDOW - w, 0)
+        ph = max(LARGE_W - h, 0)
+        pw = max(LARGE_W + q - w, 0)
         if ph or pw:
             f = jnp.pad(f, ((0, ph), (0, pw), (0, 0)))
-        flat_levels.append(f.reshape(f.shape[0], f.shape[1] * c))
-
-    geom_vec = jnp.stack(
-        [geom["sy0"], geom["sx0"], geom["step_y"], geom["step_x"]], axis=1
-    )
+        padded.append(f)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom
@@ -251,27 +372,27 @@ def roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW_H, WINDOW * c), flat_levels[0].dtype),
+            pltpu.VMEM((SMALL_W, SMALL_W + q, c), dtype),
+            pltpu.VMEM((SMALL_W, SMALL_W + q, c), dtype),
+            pltpu.VMEM((MED_W, MED_W + q, c), dtype),
+            pltpu.VMEM((MED_W, MED_W + q, c), dtype),
+            pltpu.VMEM((LARGE_W, LARGE_W + q, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     kernel = functools.partial(
-        _kernel, p=p, c=c, out_size=output_size, s=sampling_ratio
+        _kernel, p=p, c=c, out_size=output_size, s=sampling_ratio, q=q
     )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, output_size, output_size * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, output_size, output_size * c), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        geom["level"],
-        geom["wy"],
-        geom["wx"],
-        geom["heights"],
-        geom["widths"],
-        geom_vec,
-        *flat_levels,
-    )
+    )(cls, lvl, wy, wx, heights, widths, geom, *padded)
     return out.reshape(n, output_size, output_size, c)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from deepemia_tpu.config.constants import StaticShapes
-from deepemia_tpu.models.roi_align import multilevel_roi_align
+from deepemia_tpu.models.roi_align import roi_align_dispatch
 from deepemia_tpu.ops import boxes as box_ops
 
 
@@ -177,21 +177,43 @@ class ROIHeads(nn.Module):
     # (adaptive ceil(roi/out) per axis) — emulated exactly for grids <= 2
     # (all of levels 2-4) inside the static sample grid, see roi_align.py
     adaptive_pooler: bool = True
+    # RoIAlign backend for the INFERENCE path (__call__): 'auto' picks the
+    # Pallas window-DMA kernel on TPU. Direct box_forward/mask_forward calls
+    # (the training losses) always use the differentiable XLA gather.
+    roi_backend: str = "auto"
 
     def setup(self):
         self.box_head = BoxHead(dtype=self.dtype)
         self.box_predictor = BoxPredictor(self.num_classes, dtype=self.dtype)
         self.mask_head = MaskHead(self.num_classes, dtype=self.dtype)
 
-    def box_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
-        pooled = multilevel_roi_align(
-            features, boxes, output_size=7, adaptive_ratio=self.adaptive_pooler
+    def box_forward(
+        self,
+        features: Dict[str, jnp.ndarray],
+        boxes: jnp.ndarray,
+        backend: str = "xla",
+    ):
+        pooled = roi_align_dispatch(
+            features,
+            boxes,
+            output_size=7,
+            adaptive_ratio=self.adaptive_pooler,
+            backend=backend,
         )
         return self.box_predictor(self.box_head(pooled.astype(self.dtype)))
 
-    def mask_forward(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
-        pooled = multilevel_roi_align(
-            features, boxes, output_size=14, adaptive_ratio=self.adaptive_pooler
+    def mask_forward(
+        self,
+        features: Dict[str, jnp.ndarray],
+        boxes: jnp.ndarray,
+        backend: str = "xla",
+    ):
+        pooled = roi_align_dispatch(
+            features,
+            boxes,
+            output_size=14,
+            adaptive_ratio=self.adaptive_pooler,
+            backend=backend,
         )
         return self.mask_head(pooled.astype(self.dtype))  # [D,28,28,C]
 
@@ -205,7 +227,9 @@ class ROIHeads(nn.Module):
         nms_threshold: float = 0.5,
         max_detections: int = StaticShapes.MAX_DETECTIONS,
     ) -> Detections:
-        scores, deltas = self.box_forward(features, proposals)
+        scores, deltas = self.box_forward(
+            features, proposals, backend=self.roi_backend
+        )
         b, s, c, v = fast_rcnn_inference(
             scores,
             deltas,
@@ -216,7 +240,9 @@ class ROIHeads(nn.Module):
             nms_threshold,
             max_detections,
         )
-        mask_logits = self.mask_forward(features, b)  # [D,28,28,C]
+        mask_logits = self.mask_forward(
+            features, b, backend=self.roi_backend
+        )  # [D,28,28,C]
         sel = jax.nn.one_hot(c, self.num_classes, dtype=mask_logits.dtype)
         m = jnp.einsum("dhwc,dc->dhw", mask_logits, sel)
         return Detections(

@@ -39,6 +39,9 @@ class MaskRCNN(nn.Module):
     # POOLER_SAMPLING_RATIO=0 emulation (reference zoo-config behavior);
     # set False for the fixed 2x2 sample grid
     adaptive_pooler: bool = True
+    # inference RoIAlign backend: 'auto' = Pallas window-DMA kernel on TPU
+    # (training sub-forwards always use the differentiable XLA gather)
+    roi_backend: str = "auto"
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
@@ -48,6 +51,7 @@ class MaskRCNN(nn.Module):
             self.num_classes,
             dtype=self.dtype,
             adaptive_pooler=self.adaptive_pooler,
+            roi_backend=self.roi_backend,
         )
 
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
@@ -113,12 +117,18 @@ def build_model(
     backbone: str = "R50",
     num_classes: int = 2,
     use_bf16: bool = True,
+    roi_backend: str = "auto",
 ) -> MaskRCNN:
     """Model factory keyed the way the reference keys checkpoints
     (train_model.py:230-238 suffixes r50/r101)."""
     depth = 101 if "101" in backbone else 50
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    return MaskRCNN(depth=depth, num_classes=num_classes, dtype=dtype)
+    return MaskRCNN(
+        depth=depth,
+        num_classes=num_classes,
+        dtype=dtype,
+        roi_backend=roi_backend,
+    )
 
 
 def init_params(model: MaskRCNN, image_hw: Tuple[int, int] = (512, 512), seed: int = 0):

@@ -120,3 +120,60 @@ def test_full_pass_guard(rng):
     # return the dummy-empty path since tiling covers the image
     assert ig.boxes.shape == im_.boxes.shape
     assert int(ig.valid.sum()) >= 0 and int(im_.valid.sum()) >= 0
+
+
+def test_windowed_host_measurements_match_fullres():
+    """The O(K*S^2) window export must reproduce the full-res host rows:
+    exactly for instances that fit the window natively, within ~2% for an
+    instance larger than the window (shrink-to-fit rescaling)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from deepemia_tpu.inference.detections import empty_instances
+    from deepemia_tpu.inference.measure_host import (
+        measurement_rows_host,
+        measurement_rows_host_windows,
+    )
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+    from deepemia_tpu.ops.masks import paste_masks
+
+    h = w = 400
+    inst = empty_instances(4)
+    # instance 0: 80x60 ellipse-ish blob (fits the 192 window natively)
+    p0 = np.zeros((28, 28), np.float32)
+    yy, xx = np.mgrid[:28, :28]
+    p0[((yy - 14) / 13.0) ** 2 + ((xx - 14) / 10.0) ** 2 <= 1.0] = 1.0
+    # instance 1: 300x280 blob (larger than the window -> scaled path)
+    inst = inst._replace(
+        mask_probs=inst.mask_probs.at[0].set(jnp.asarray(p0)).at[1].set(
+            jnp.asarray(p0)
+        ),
+        boxes=inst.boxes.at[0].set(jnp.asarray([50.0, 60.0, 130.0, 120.0]))
+        .at[1].set(jnp.asarray([40.0, 50.0, 340.0, 330.0])),
+        valid=inst.valid.at[:2].set(True),
+    )
+    classes = np.zeros(4, np.int32)
+    valid = np.array([True, True, False, False])
+
+    full = np.asarray(
+        paste_masks(inst.mask_probs, inst.boxes, h, w, 0.5)
+    ) & valid[:, None, None]
+    rows_full = measurement_rows_host(
+        full, classes, valid, "img", ["a"], 1.0, "0", float(h * w)
+    )
+
+    fake = types.SimpleNamespace(mask_threshold=0.5)
+    wins, origins, scales = InferencePipeline._mask_windows(fake, inst)
+    assert scales[0] == pytest.approx(1.0)
+    assert scales[1] < 1.0
+    rows_win = measurement_rows_host_windows(
+        wins, origins, scales, classes, valid, "img", ["a"], 1.0, "0",
+        float(h * w),
+    )
+    assert len(rows_full) == len(rows_win) == 2
+    for rf, rw in zip(rows_full, rows_win):
+        for col in (3, 4, 6, 7, 8, 11):  # axes, rect dims, diameter, perim
+            assert rw[col] == pytest.approx(rf[col], rel=0.03), (
+                f"col {col}: {rw[col]} vs {rf[col]}"
+            )

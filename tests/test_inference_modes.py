@@ -185,3 +185,60 @@ def test_ensemble_secondary_class_filter():
         secondary_class_filter=None,
     )
     assert int(np.asarray(inst2.valid).sum()) == 2
+
+
+def test_downscaled_full_pass_recovers_objects_larger_than_a_tile():
+    """Images beyond full_pass_max_dim run a DOWNSCALED full pass: an
+    interior object larger than a tile cannot be recovered from tiles
+    (every partial view is edge-filtered), so the scaled pass must supply
+    it (reference inference.py:2341 always runs a full pass)."""
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+    from deepemia_tpu.ops import masks as mask_ops
+
+    model = build_model("R50", num_classes=2, use_bf16=False)
+    params = init_params(model, (64, 64), seed=0)
+    engine = TileEngine(
+        model, params, tile_size=128, overlap_ratio=0.2, upscale_factor=1.0,
+        capacity=64, full_pass_max_dim=256,
+    )
+
+    def fake_forward(params_, image):
+        # deterministic detector: one instance = bbox of bright pixels
+        from deepemia_tpu.inference.detections import empty_instances
+
+        bright = image.astype(jnp.float32).sum(-1) > 300.0
+        box = mask_ops.mask_bboxes(bright[None])[0]
+        area = (box[2] - box[0]) * (box[3] - box[1])
+        inst = empty_instances(8)
+        return inst._replace(
+            boxes=inst.boxes.at[0].set(box),
+            scores=inst.scores.at[0].set(0.9),
+            valid=inst.valid.at[0].set(area > 4.0),
+            mask_probs=inst.mask_probs.at[0].set(1.0),
+        )
+
+    engine._forward = fake_forward
+    img = np.zeros((640, 640, 3), np.float32)
+    yy, xx = np.mgrid[:640, :640]
+    disk = (yy - 320) ** 2 + (xx - 320) ** 2 <= 160**2  # diameter 320 > tile
+    img[disk] = 200.0
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.5, 0.5]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    inst, _ = engine.infer(img, settings)
+    valid = np.asarray(inst.valid)
+    boxes = np.asarray(inst.boxes)[valid]
+    assert len(boxes) > 0, "no detections at all"
+    true = np.array([160.0, 160.0, 480.0, 480.0])
+
+    def iou(a, b):
+        lt = np.maximum(a[:2], b[:2]); rb = np.minimum(a[2:], b[2:])
+        wh = np.clip(rb - lt, 0, None); inter = wh[0] * wh[1]
+        ua = (a[2]-a[0])*(a[3]-a[1]) + (b[2]-b[0])*(b[3]-b[1]) - inter
+        return inter / ua
+
+    best = max(iou(b, true) for b in boxes)
+    assert best > 0.6, f"large object not recovered (best IoU {best:.2f})"

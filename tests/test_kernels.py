@@ -55,3 +55,31 @@ def test_pallas_level_bump_for_elongated_boxes(pyramid):
     g = np.asarray(got)
     assert 0.0 <= g.min() and g.max() <= 1.01
     assert abs(g.mean() - np.asarray(ref).mean()) < 0.1
+
+
+def test_model_forward_pallas_backend_matches_xla():
+    """Full Mask R-CNN forward with roi_backend='pallas' (interpret mode on
+    CPU) must reproduce the XLA-gather detections."""
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+
+    xla_model = build_model("R50", num_classes=2, use_bf16=False,
+                            roi_backend="xla")
+    pal_model = build_model("R50", num_classes=2, use_bf16=False,
+                            roi_backend="pallas")
+    params = init_params(xla_model, (64, 64), seed=2)
+    rng = np.random.default_rng(4)
+    img = jnp.asarray((rng.random((64, 64, 3)) * 255).astype(np.float32))
+    kw = dict(score_threshold=0.05, proposal_topk=64, max_detections=16)
+    a = xla_model.apply(params, img, **kw)
+    b = pal_model.apply(params, img, **kw)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    va = np.asarray(a.valid)
+    np.testing.assert_allclose(
+        np.asarray(a.scores)[va], np.asarray(b.scores)[va], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.boxes)[va], np.asarray(b.boxes)[va], atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.mask_probs)[va], np.asarray(b.mask_probs)[va], atol=1e-3
+    )
