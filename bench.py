@@ -31,19 +31,19 @@ def _sync(x) -> None:
 
 
 def bench_tile_throughput(jax, jnp):
-    """Headline: full-model forward throughput on 1024^2 tiles."""
+    """Headline: full-model forward throughput on 1024^2 tiles, using the
+    engine's serving pattern (backbone batched over the tile batch, heads
+    per tile)."""
+    from deepemia_tpu.inference.engine import TileEngine
     from deepemia_tpu.models.mask_rcnn import build_model, init_params
 
     platform = jax.devices()[0].platform
     use_bf16 = platform != "cpu"
     model = build_model("R50", num_classes=2, use_bf16=use_bf16)
     params = init_params(model, (TILE, TILE), seed=0)
+    engine = TileEngine(model, params)
 
-    fn = jax.jit(
-        lambda p, ts: jax.lax.map(
-            lambda t: model.apply(p, t, score_threshold=0.05), ts
-        )
-    )
+    fn = jax.jit(lambda p, ts: engine._forward_tile_batch(p, ts))
     rng = np.random.default_rng(0)
     tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
     for _ in range(WARMUP):

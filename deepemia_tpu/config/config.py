@@ -269,16 +269,28 @@ class ConfigStore:
 
         merged = copy.deepcopy(base)
 
+        # general deep-merge of direct config keys (a dataset YAML may
+        # override any setting under its canonical name — e.g. a plain
+        # ``inference_settings:`` block); the reference's special override
+        # channels below are excluded and handled with their renames
+        special = {
+            "inference_overrides",
+            "scale_bar_roi",
+            "spatial_constraints",
+            "rcnn_hyperparameters",
+            "name",
+            "description",
+        }
+        direct = {k: v for k, v in ds.items() if k not in special}
+        if direct:
+            merged = deep_merge(merged, direct)
+
         if "inference_overrides" in ds:
             merged["inference_settings"] = deep_merge(
                 merged.get("inference_settings", {}), ds["inference_overrides"]
             )
         if "scale_bar_roi" in ds:
             merged.setdefault("scale_bar_rois", {})[dataset_name] = ds["scale_bar_roi"]
-        if "scalebar_thresholds" in ds:
-            merged["scalebar_thresholds"] = deep_merge(
-                merged.get("scalebar_thresholds", {}), ds["scalebar_thresholds"]
-            )
         if "spatial_constraints" in ds:
             merged.setdefault("inference_settings", {}).setdefault(
                 "spatial_constraints", {}

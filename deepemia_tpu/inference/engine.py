@@ -131,6 +131,7 @@ class TileEngine:
         mesh=None,
         full_pass_max_dim: int = 2048,
         confidence_mode: str = "auto",
+        tile_batch: int = 8,
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
@@ -145,6 +146,12 @@ class TileEngine:
         recovered from tiles alone: every partial view touches a tile edge
         and is edge-filtered)."""
         self.model = model
+        if mesh is not None:
+            # checkpoint-loaded params arrive committed to one device;
+            # shard_map needs them addressable on every mesh device
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.tile_size = tile_size
         self.overlap_ratio = overlap_ratio
@@ -157,6 +164,10 @@ class TileEngine:
         self.dedup_stride = dedup_stride
         self.mesh = mesh
         self.full_pass_max_dim = full_pass_max_dim
+        # tiles per backbone batch: convs see batch B instead of B sequential
+        # batch-1 forwards (+10% tile throughput measured; reference knob
+        # tile_batch_size, config.yaml:112)
+        self.tile_batch = max(1, int(tile_batch))
         # 'auto': thresholds scale down on poor-quality images (reference
         # adaptive_confidence_threshold); 'manual': thresholds used verbatim
         self.confidence_mode = confidence_mode
@@ -167,6 +178,28 @@ class TileEngine:
     def _forward(self, params, image: jnp.ndarray) -> InstanceSet:
         det = self.model.apply(params, image, score_threshold=0.05)
         return detections_to_instances(det)
+
+    def _forward_tile_batch(self, params, tiles_up: jnp.ndarray) -> InstanceSet:
+        """[B,H,W,3] -> InstanceSet with leading batch dim: the backbone+FPN
+        run over the whole batch (efficient batched convs), the RPN/RoI
+        heads per tile (their NMS/sorts do not batch well)."""
+        hw = (tiles_up.shape[1], tiles_up.shape[2])
+        model_cls = type(self.model)
+        feats = jax.vmap(
+            lambda t: self.model.apply(params, t, method=model_cls.features)
+        )(tiles_up)
+
+        def heads(f):
+            det = self.model.apply(
+                params,
+                f,
+                hw,
+                score_threshold=0.05,
+                method=model_cls.detect_from_features,
+            )
+            return detections_to_instances(det)
+
+        return jax.lax.map(heads, feats)
 
     # -- the traced whole-image program ------------------------------------
 
@@ -210,35 +243,80 @@ class TileEngine:
                 parts.append(inst._replace(boxes=inst.boxes * back))
             if self.use_tiling and grid.num_tiles > 1:
                 tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
+                scale = ts_up / ts
 
-                def per_tile(args):
-                    tile, offset, tile_ok = args
-                    tile_up = jax.image.resize(
-                        tile.astype(jnp.float32), (ts_up, ts_up, 3), "linear"
-                    )
-                    inst = self._forward(params, tile_up)
-                    scale = ts_up / ts
+                def finish_batch(inst_b: InstanceSet, offs_b, ok_b):
+                    """Edge filter + tile->global coords, vectorized over a
+                    [B,D,...] batch of per-tile instance sets."""
+                    local = inst_b.boxes / scale  # [B,D,4] tile units
+                    keep = jnp.ones(local.shape[:2], bool)
                     if self.edge_filter:
-                        local = inst.boxes / scale  # tile-local, tile units
+                        b, d = local.shape[:2]
                         edge = mask_ops.is_edge_mask(
-                            local, ts, self.overlap_ratio
-                        )
+                            local.reshape(-1, 4), ts, self.overlap_ratio
+                        ).reshape(b, d)
                         # never drop instances at the global image border:
                         # their tile edge IS the image edge (the reference
                         # drops them — a deliberate fix, SURVEY.md Q-class)
-                        gx0 = local[:, 0] + offset[0]
-                        gy0 = local[:, 1] + offset[1]
-                        gx1 = local[:, 2] + offset[0]
-                        gy1 = local[:, 3] + offset[1]
+                        gx0 = local[..., 0] + offs_b[:, None, 0]
+                        gy0 = local[..., 1] + offs_b[:, None, 1]
+                        gx1 = local[..., 2] + offs_b[:, None, 0]
+                        gy1 = local[..., 3] + offs_b[:, None, 1]
                         at_border = (
-                            (gx0 <= 2.0) | (gy0 <= 2.0) | (gx1 >= w - 2.0) | (gy1 >= h - 2.0)
+                            (gx0 <= 2.0)
+                            | (gy0 <= 2.0)
+                            | (gx1 >= w - 2.0)
+                            | (gy1 >= h - 2.0)
                         )
-                        inst = filter_instances(inst, ~edge | at_border)
+                        keep = ~edge | at_border
                     gboxes = tile_ops.tile_boxes_to_global(
-                        inst.boxes[None], offset[None], scale=scale
-                    )[0]
-                    return inst._replace(
-                        boxes=gboxes, valid=inst.valid & tile_ok
+                        inst_b.boxes, offs_b, scale=scale
+                    )
+                    return inst_b._replace(
+                        boxes=gboxes,
+                        valid=inst_b.valid & keep & ok_b[:, None],
+                    )
+
+                def run_tiles(tiles_, offsets_, ok_):
+                    """Chunked tile processing: backbone over batches of
+                    ``tile_batch`` tiles, heads per tile, tail vectorized.
+                    Returns a FLAT InstanceSet over all (padded) tiles."""
+                    t = tiles_.shape[0]
+                    chunk = min(self.tile_batch, t)
+                    pad = (-t) % chunk
+                    if pad:
+                        tiles_ = jnp.pad(
+                            tiles_, ((0, pad), (0, 0), (0, 0), (0, 0))
+                        )
+                        offsets_ = jnp.pad(offsets_, ((0, pad), (0, 0)))
+                        ok_ = jnp.pad(ok_, (0, pad))
+                    n_chunks = (t + pad) // chunk
+                    tiles_c = tiles_.reshape(n_chunks, chunk, ts, ts, 3)
+                    offs_c = offsets_.reshape(n_chunks, chunk, 2)
+                    ok_c = ok_.reshape(n_chunks, chunk)
+
+                    def do_chunk(args):
+                        tc, oc, okc = args
+                        ups = jax.vmap(
+                            lambda tile: jax.image.resize(
+                                tile.astype(jnp.float32),
+                                (ts_up, ts_up, 3),
+                                "linear",
+                            )
+                        )(tc)
+                        inst_b = self._forward_tile_batch(params, ups)
+                        return finish_batch(inst_b, oc, okc)
+
+                    insts = jax.lax.map(do_chunk, (tiles_c, offs_c, ok_c))
+                    # [n_chunks, chunk, D, ...] -> [n_chunks*chunk*D, ...]
+                    return InstanceSet(
+                        boxes=insts.boxes.reshape(-1, 4),
+                        scores=insts.scores.reshape(-1),
+                        classes=insts.classes.reshape(-1),
+                        valid=insts.valid.reshape(-1),
+                        mask_probs=insts.mask_probs.reshape(
+                            -1, *insts.mask_probs.shape[3:]
+                        ),
                     )
 
                 offsets = jnp.asarray(grid.offsets, jnp.float32)
@@ -247,7 +325,7 @@ class TileEngine:
                     # shard the tile axis across the mesh: pad the grid to a
                     # multiple of the device count (padded tiles carry
                     # tile_ok=False so their detections are discarded), run
-                    # the per-tile map per shard, let GSPMD stitch the rest
+                    # the chunked processing per shard, let GSPMD stitch
                     from jax.sharding import PartitionSpec as P
 
                     n_dev = self.mesh.size
@@ -259,30 +337,15 @@ class TileEngine:
                         offsets = jnp.pad(offsets, ((0, pad_t), (0, 0)))
                         tile_ok = jnp.pad(tile_ok, (0, pad_t))
 
-                    local_map = lambda ts_, of_, ok_: jax.lax.map(
-                        per_tile, (ts_, of_, ok_)
-                    )
-                    tile_insts = jax.shard_map(
-                        local_map,
+                    flat = jax.shard_map(
+                        run_tiles,
                         mesh=self.mesh,
                         in_specs=(P("tile"), P("tile"), P("tile")),
                         out_specs=P("tile"),
                         check_vma=False,
                     )(tiles, offsets, tile_ok)
                 else:
-                    tile_insts = jax.lax.map(
-                        per_tile, (tiles, offsets, tile_ok)
-                    )
-                # flatten [T,D,...] -> [T*D,...]
-                flat = InstanceSet(
-                    boxes=tile_insts.boxes.reshape(-1, 4),
-                    scores=tile_insts.scores.reshape(-1),
-                    classes=tile_insts.classes.reshape(-1),
-                    valid=tile_insts.valid.reshape(-1),
-                    mask_probs=tile_insts.mask_probs.reshape(
-                        -1, *tile_insts.mask_probs.shape[2:]
-                    ),
-                )
+                    flat = run_tiles(tiles, offsets, tile_ok)
                 parts.append(flat)
 
             if not parts:
@@ -319,9 +382,13 @@ class TileEngine:
             self._compiled[key] = self._build(h, w)
         # keep the native dtype for the host->device transfer (uint8 images
         # move 4x less data than f32; the program casts on device)
-        inst, quality = self._compiled[key](
-            self.params, jnp.asarray(image), settings
-        )
+        image = jnp.asarray(image)
+        if self.mesh is not None:
+            # a prefetched image may be committed to a single device
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            image = jax.device_put(image, NamedSharding(self.mesh, P()))
+        inst, quality = self._compiled[key](self.params, image, settings)
         return inst, float(quality)
 
 

@@ -145,6 +145,7 @@ class InferencePipeline:
             mask_threshold=self.mask_threshold,
             confidence_mode=str(self.inf.get("confidence_mode", "auto")),
             mesh=self._choose_inference_mesh(perf),
+            tile_batch=int(ts.get("tile_batch_size", 8)),
         )
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)

@@ -82,16 +82,19 @@ class MaskRCNN(nn.Module):
     def mask_forward(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray):
         return self.roi_heads.mask_forward(feats, boxes)
 
-    def __call__(
+    def detect_from_features(
         self,
-        image: jnp.ndarray,
+        feats: Dict[str, jnp.ndarray],
+        image_hw,
         score_threshold: float = 0.05,
         nms_threshold: float = 0.5,
         proposal_topk: int = StaticShapes.POST_NMS_TOPK_TEST,
         max_detections: int = StaticShapes.MAX_DETECTIONS,
     ) -> Detections:
-        h, w = image.shape[0], image.shape[1]
-        feats = self.features(image)
+        """RPN + RoI heads on precomputed FPN features — the per-tile tail
+        when the backbone runs over a BATCH of tiles (the tile engine
+        batches features so convs see batch B instead of 8x batch-1)."""
+        h, w = image_hw
         logits, regs = self.rpn_head({k: v[None] for k, v in feats.items()})
         feat_shapes = {k: (v.shape[0], v.shape[1]) for k, v in feats.items()}
         anchors = anchor_lib.all_anchors(feat_shapes)
@@ -109,6 +112,25 @@ class MaskRCNN(nn.Module):
             (h, w),
             score_threshold=score_threshold,
             nms_threshold=nms_threshold,
+            max_detections=max_detections,
+        )
+
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        score_threshold: float = 0.05,
+        nms_threshold: float = 0.5,
+        proposal_topk: int = StaticShapes.POST_NMS_TOPK_TEST,
+        max_detections: int = StaticShapes.MAX_DETECTIONS,
+    ) -> Detections:
+        h, w = image.shape[0], image.shape[1]
+        feats = self.features(image)
+        return self.detect_from_features(
+            feats,
+            (h, w),
+            score_threshold=score_threshold,
+            nms_threshold=nms_threshold,
+            proposal_topk=proposal_topk,
             max_detections=max_detections,
         )
 

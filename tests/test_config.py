@@ -101,3 +101,32 @@ def test_validation_fills_defaults():
     )
     assert out["scalebar_thresholds"]["intensity"] == 100
     assert out["inference_settings"]["tile_settings"]["tile_size"] == 512
+
+
+def test_dataset_config_direct_inference_settings_merge(tmp_home):
+    """A plain ``inference_settings:`` block in a dataset YAML must deep-
+    merge (the documented behavior), not just the reference's
+    ``inference_overrides`` channel."""
+    import os
+    from pathlib import Path
+
+    from deepemia_tpu.config import get_config, get_store
+
+    cfg = get_config()
+    d = Path(os.path.expanduser(cfg["paths"]["dataset_configs_dir"]))
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "dsx.yaml").write_text(
+        "inference_settings:\n"
+        "  tile_settings:\n"
+        "    tile_size: 128\n"
+        "    tile_batch_size: 4\n"
+        "performance:\n"
+        "  inference_chips: 2\n"
+    )
+    get_store().invalidate()
+    c = get_config("dsx")
+    ts = c["inference_settings"]["tile_settings"]
+    assert ts["tile_size"] == 128
+    assert ts["tile_batch_size"] == 4
+    assert ts["overlap_ratio"] == 0.1  # untouched defaults survive the merge
+    assert c["performance"]["inference_chips"] == 2

@@ -219,6 +219,9 @@ def test_downscaled_full_pass_recovers_objects_larger_than_a_tile():
         )
 
     engine._forward = fake_forward
+    engine._forward_tile_batch = lambda params_, tiles_up: jax.lax.map(
+        lambda t: fake_forward(params_, t), tiles_up
+    )
     img = np.zeros((640, 640, 3), np.float32)
     yy, xx = np.mgrid[:640, :640]
     disk = (yy - 320) ** 2 + (xx - 320) ** 2 <= 160**2  # diameter 320 > tile
