@@ -53,23 +53,27 @@ def get_scalebar_roi(config: dict, dataset_name: Optional[str], shape) -> Tuple[
     return x0, y0, x1, y1
 
 
-def find_scale_line(
+def scale_line_candidates(
     gray: np.ndarray,
     intensity: float = 100,
     merge_gap: int = 15,
     min_line_length: int = 30,
     edge_margin_factor: float = 0.1,
-) -> Optional[Tuple[int, int, int]]:
-    """Longest near-horizontal bright run in the ROI.
+) -> List[dict]:
+    """All near-horizontal bright runs in the ROI, with per-run statistics.
 
-    Returns (row, x_start, length_px) or None. Gap-tolerant run detection:
-    a column belongs to a run if any pixel in a 3-row band is bright; gaps up
-    to ``merge_gap`` columns are bridged (the reference achieves the same via
+    Each candidate dict has ``row``, ``x_start``, ``length`` (px) and
+    ``intensity`` (mean gray level along the run, 3-row band — the analog of
+    the reference's mean-intensity-along-line check with a 2-px-thick line
+    mask, scalebar_ocr.py:246-249). Gap-tolerant run detection: a column
+    belongs to a run if any pixel in a 3-row band is bright; gaps up to
+    ``merge_gap`` columns are bridged (the reference achieves the same via
     Hough + merge_collinear_segments with the same ``merge_gap``).
     """
     h, w = gray.shape
     margin = int(w * edge_margin_factor)
-    bright = gray.astype(np.float32) >= intensity
+    grayf = gray.astype(np.float32)
+    bright = grayf >= intensity
     # 3-row vertical tolerance (scale bars are a few px thick / antialiased)
     band = np.zeros_like(bright)
     band[1:-1] = bright[:-2] | bright[1:-1] | bright[2:]
@@ -77,7 +81,7 @@ def find_scale_line(
         band[0] = bright[0]
         band[-1] = bright[-1]
 
-    best = None
+    out: List[dict] = []
     for row in range(h):
         cols = band[row]
         if margin > 0:
@@ -92,12 +96,43 @@ def find_scale_line(
         starts = np.concatenate([[0], splits + 1])
         ends = np.concatenate([splits, [idx.size - 1]])
         lengths = idx[ends] - idx[starts] + 1
-        k = int(np.argmax(lengths))
-        if lengths[k] >= min_line_length and (
-            best is None or lengths[k] > best[2]
-        ):
-            best = (row, int(idx[starts[k]]), int(lengths[k]))
-    return best
+        r0, r1 = max(0, row - 1), min(h, row + 2)
+        for s, e, ln in zip(starts, ends, lengths):
+            if ln < min_line_length:
+                continue
+            x0 = int(idx[s])
+            seg = grayf[r0:r1, x0 : x0 + int(ln)]
+            out.append(
+                {
+                    "row": row,
+                    "x_start": x0,
+                    "length": int(ln),
+                    "intensity": float(seg.mean()) if seg.size else 0.0,
+                }
+            )
+    return out
+
+
+def find_scale_line(
+    gray: np.ndarray,
+    intensity: float = 100,
+    merge_gap: int = 15,
+    min_line_length: int = 30,
+    edge_margin_factor: float = 0.1,
+) -> Optional[Tuple[int, int, int]]:
+    """Longest near-horizontal bright run (no text-proximity scoring).
+
+    Returns (row, x_start, length_px) or None. ``detect_scale_bar`` uses
+    :func:`scale_line_candidates` with proximity/intensity filters instead;
+    this remains as the unconditional longest-run primitive.
+    """
+    cands = scale_line_candidates(
+        gray, intensity, merge_gap, min_line_length, edge_margin_factor
+    )
+    if not cands:
+        return None
+    best = max(cands, key=lambda c: c["length"])
+    return best["row"], best["x_start"], best["length"]
 
 
 def _crop_glyph(canvas: np.ndarray) -> Optional[np.ndarray]:
@@ -203,9 +238,15 @@ def _split_wide(thr, x, y, w, h):
     return pieces if len(pieces) > 1 else [(x, y, w, h)]
 
 
-def read_scale_text(gray: np.ndarray) -> str:
+def read_scale_text(gray: np.ndarray):
     """Segment connected components into glyphs (left to right) and classify
-    each against the multi-font atlas. Returns the raw recognized string."""
+    each against the multi-font atlas.
+
+    Returns ``(text, center, bbox)``: ``center`` is the (x, y) centroid and
+    ``bbox`` the (x0, y0, x1, y1) extent of the accepted glyph boxes in ROI
+    pixel coordinates (both None when no glyph was recognized) — the analog
+    of the reference's EasyOCR text-box geometry used for line↔text
+    proximity scoring (scalebar_ocr.py:186-189,241-244)."""
     # 2x cubic upscale before binarization: reconnects thin serif strokes
     # that noise/JPEG/blur would otherwise fragment into bare stems
     gray = cv2.resize(gray, None, fx=2, fy=2, interpolation=cv2.INTER_CUBIC)
@@ -225,8 +266,9 @@ def read_scale_text(gray: np.ndarray) -> str:
             continue
         comps.append((x, y, w, h))
     if not comps:
-        return ""
-    med_h = int(np.median([c[3] for c in comps if c[3] >= 5]) or 8)
+        return "", None, None
+    heights = [c[3] for c in comps if c[3] >= 5]
+    med_h = int(np.median(heights)) if heights else 8
     split = []
     for x, y, w, h in comps:
         if w > 1.6 * h:
@@ -236,6 +278,7 @@ def read_scale_text(gray: np.ndarray) -> str:
     split.sort(key=lambda c: c[0])
     templates = _glyph_templates(max(med_h, 8))
     chars = []
+    accepted = []
     prev_end = None
     for x, y, w, h in split:
         patch = thr[y : y + h, x : x + w]
@@ -253,8 +296,20 @@ def read_scale_text(gray: np.ndarray) -> str:
             if prev_end is not None and x - prev_end > 0.45 * med_h:
                 chars.append(" ")
             chars.append(ch)
+            accepted.append((x, y, w, h))
             prev_end = x + w
-    return "".join(chars)
+    text = "".join(chars)
+    if not accepted:
+        return text, None, None
+    # centroid / bounding box of accepted glyph boxes; coordinates are on the
+    # 2x-upscaled image, so halve back to ROI pixels
+    cx = float(np.mean([x + w / 2.0 for x, y, w, h in accepted])) / 2.0
+    cy = float(np.mean([y + h / 2.0 for x, y, w, h in accepted])) / 2.0
+    bx0 = min(x for x, y, w, h in accepted) / 2.0
+    by0 = min(y for x, y, w, h in accepted) / 2.0
+    bx1 = max(x + w for x, y, w, h in accepted) / 2.0
+    by1 = max(y + h for x, y, w, h in accepted) / 2.0
+    return text, (cx, cy), (bx0, by0, bx1, by1)
 
 
 def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
@@ -266,13 +321,16 @@ def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
     value = float(m.group(1))
     rest = text[m.end() :]
     unit = 1.0  # default micrometres
-    # priority u/µ > n > m: a unit token may contain misread strokes, and a
-    # 'u' (or 'µ') present anywhere marks micrometres unambiguously
+    # priority u/µ > n > mm: a unit token may contain misread strokes, and a
+    # 'u' (or 'µ') present anywhere marks micrometres unambiguously.
+    # Millimetres require BOTH 'm' glyphs: a bare residual 'm' most often
+    # means the 'u' of 'um' (or 'n' of 'nm') was dropped by noise — treating
+    # it as mm would silently scale every measurement by 10^3 (ADVICE r2).
     if "u" in rest or "µ" in rest:
         unit = 1.0
     elif "n" in rest:
         unit = 1e-3  # nm -> um
-    elif "m" in rest:
+    elif rest.count("m") >= 2:
         unit = 1e3  # mm -> um
     return value * unit, m.group(1)
 
@@ -310,18 +368,50 @@ def detect_scale_bar(
         if roi_polarity_inverted(roi):
             roi = 255 - roi  # dark-bar-on-bright annotation style
         thr = config.get("scalebar_thresholds", {})
-        line = find_scale_line(
+        intensity_thr = thr.get("intensity", 100)
+        cands = scale_line_candidates(
             roi,
-            intensity=thr.get("intensity", 100),
+            intensity=intensity_thr,
             merge_gap=int(thr.get("merge_gap", 15)),
             min_line_length=int(thr.get("min_line_length", 30)),
             edge_margin_factor=thr.get("edge_margin_factor", 0.1),
         )
+        text, text_center, tbox = read_scale_text(roi)
+        debug["text"] = text
+        # Line selection mirrors the reference's criteria chain
+        # (scalebar_ocr.py:303-309): the chosen line must be bright along its
+        # length (mean intensity > threshold), near the recognized text
+        # (center distance < `proximity`) but not inside the label's own
+        # glyph box, and is the longest that qualifies. Border artifacts /
+        # annotation underlines far from the label lose to these filters
+        # even when longer than the bar.
+        proximity = float(thr.get("proximity", 100))
+        line = None
+        for c in sorted(cands, key=lambda c: -c["length"]):
+            if c["intensity"] <= intensity_thr:
+                continue
+            cx = c["x_start"] + c["length"] / 2.0
+            if tbox is not None:
+                # run lies within the text block (glyph strokes bridged into
+                # a pseudo-line): skip — the bar sits outside the label box
+                bx0, by0, bx1, by1 = tbox
+                if (
+                    by0 - 2 <= c["row"] <= by1 + 2
+                    and c["x_start"] >= bx0 - 2
+                    and c["x_start"] + c["length"] <= bx1 + 2
+                ):
+                    continue
+            if text_center is not None:
+                dist = float(
+                    np.hypot(cx - text_center[0], c["row"] - text_center[1])
+                )
+                if dist >= proximity:
+                    continue
+            line = (c["row"], c["x_start"], c["length"])
+            break
         if line is not None:
             row, xs, length = line
             debug["line"] = (x0 + xs, y0 + row, x0 + xs + length, y0 + row)
-        text = read_scale_text(roi)
-        debug["text"] = text
         parsed = parse_scale_value(text)
         if line is None or parsed is None:
             log.debug(

@@ -243,10 +243,12 @@ def multilevel_roi_align(
     return pooled.reshape(n, output_size, output_size, c)
 
 
-# Pallas kernel coverage: the LARGE window covers boxes up to ~79 cells on
-# the coarsest level (p5, stride 32) => images/tiles up to ~2528 px always
-# pool exactly. Bigger no-tiling images fall back to the XLA gather.
-_PALLAS_MAX_IMAGE = 2528
+# Pallas kernel coverage: the LARGE window covers boxes up to LARGE_W-2=70
+# cells on the coarsest level (p5, stride 32) => boxes/tiles up to 70*32 =
+# 2240 px pool exactly (kernels/roi_align_pallas.py:_prepare_rois bumps
+# oversized boxes to coarser levels but cannot bump past p5). Images that
+# could contain bigger boxes fall back to the XLA gather in dispatch.
+_PALLAS_MAX_IMAGE = 70 * 32
 
 
 def roi_align_dispatch(
@@ -277,6 +279,18 @@ def roi_align_dispatch(
 
     on_tpu = _jax.default_backend() == "tpu"
     use_pallas = backend == "pallas"
+    if use_pallas:
+        # Size guard (ADVICE r2): the kernel's LARGE window cannot cover a
+        # box wider than _PALLAS_MAX_IMAGE px even after level bumping — a
+        # bigger box would silently lose sample contributions outside the
+        # window. Feature shapes bound the largest possible box, so route
+        # oversized images to the exact gather.
+        p2 = features[min(features, key=lambda k: STRIDES.get(k, 99))]
+        image_extent = max(p2.shape[0], p2.shape[1]) * min(
+            STRIDES[k] for k in features if k in STRIDES
+        )
+        if image_extent > _PALLAS_MAX_IMAGE:
+            use_pallas = False
     if use_pallas:
         from deepemia_tpu.kernels.roi_align_pallas import roi_align_pallas
 

