@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="Override auto training schedule length",
     )
     p.add_argument(
+        "--pretrained-weights",
+        default=None,
+        metavar="PATH",
+        help=(
+            "Fine-tune from a zoo/pretrained checkpoint (Detectron2 "
+            ".pth/.pkl or Caffe2 backbone pickle); heads are re-initialized "
+            "on class-count mismatch. Defaults to "
+            "train.pretrained_weights.<backbone> from config"
+        ),
+    )
+    p.add_argument(
         "--verbosity",
         default="info",
         choices=["debug", "info", "warning", "error"],
@@ -251,6 +262,7 @@ def run_task(args) -> int:
             n_trials=args.n_trials,
             config=cfg,
             max_steps_override=args.max_iter,
+            init_checkpoint=args.pretrained_weights,
         )
         for backbone, metrics in results.items():
             system_logger.info(

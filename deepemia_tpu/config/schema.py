@@ -133,9 +133,42 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     "edge_filter_enabled": Field(types=bool, default=True),
                     "classes_using_tiling": Field(types=list, default=[0, 1]),
                     "tile_batch_size": Field(types=int, default=8),
+                    # whole-image pass runs native up to this long side,
+                    # downscaled above it (8k+ micrographs: raise at will)
+                    "full_pass_max_dim": Field(types=int, default=2048),
+                    # rasterized-IoU grid stride for the global dedup NMS
+                    "dedup_stride": Field(types=int, default=8),
+                    # padded instance capacity per image (0 = built-in
+                    # StaticShapes.MAX_INSTANCES_PER_IMAGE)
+                    "instance_capacity": Field(types=int, default=0),
                 }
             ),
+            # [S,S] crop size for exact host measurements; objects larger
+            # than this are measured shrink-to-fit (raise for >192-px
+            # objects at native scale)
+            "measurement_window": Field(types=int, default=192),
             "spatial_constraints": _mapping(wildcard=Field(types=dict)),
+        }
+    ),
+    "train": _mapping(
+        children={
+            # zoo/pretrained checkpoints to fine-tune from (Detectron2
+            # .pth/.pkl or Caffe2 backbone pickle); the reference always
+            # fine-tunes from model-zoo COCO weights (train_model.py:128-134)
+            "pretrained_weights": _mapping(
+                children={
+                    "R50": Field(types=str, default=""),
+                    "R101": Field(types=str, default=""),
+                }
+            ),
+            "train_size": Field(types=int, default=512),
+            # 'fixed': square train_size crops/resizes; 'range': Detectron2's
+            # aspect-preserving min-size choice in [min, max] with max_size
+            # cap (the reference's training-resize schedule)
+            "resize_mode": Field(types=str, default="fixed"),
+            "min_size_range": Field(types=list, default=[640, 800]),
+            "max_size": Field(types=int, default=1333),
+            "max_instances": Field(types=int, default=64),
         }
     ),
     "performance": _mapping(

@@ -30,8 +30,22 @@ def prepare_sample(
     max_instances: int,
     augment: bool,
     rng: np.random.Generator,
+    resize_mode: str = "fixed",
+    min_size_range=(640, 800),
+    max_size: int = 1333,
 ) -> Optional[Dict[str, np.ndarray]]:
-    """One record -> fixed-shape arrays (or None if the image is unreadable)."""
+    """One record -> fixed-shape arrays (or None if the image is unreadable).
+
+    ``resize_mode='fixed'``: long side scaled to ``train_size`` (square
+    canvas). ``'range'``: Detectron2's training-resize schedule
+    (ResizeShortestEdge: short side sampled from ``min_size_range``, long
+    side capped at ``max_size``) reproduced inside the STATIC
+    ``train_size`` canvas — the per-sample scale is
+    min(chosen/short, max_size/long, train_size/long), so XLA sees one
+    shape while the object-scale distribution matches the reference
+    (train_model.py zoo-config INPUT.MIN_SIZE_TRAIN 640-800 / MAX 1333).
+    Pick ``train_size`` >= the largest intended long side for full effect.
+    """
     img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
     if img is None:
         log.warning("Unreadable image: %s", record["file_name"])
@@ -46,7 +60,14 @@ def prepare_sample(
 
     # resize (aspect-preserving) + zero-pad to the static square train size
     h, w = img.shape[:2]
-    scale = train_size / max(h, w)
+    if resize_mode == "range":
+        lo, hi = int(min_size_range[0]), int(min_size_range[-1])
+        chosen = int(rng.integers(lo, hi + 1)) if hi > lo else lo
+        scale = min(
+            chosen / min(h, w), max_size / max(h, w), train_size / max(h, w)
+        )
+    else:
+        scale = train_size / max(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
     canvas = np.zeros((train_size, train_size, 3), np.uint8)
@@ -99,6 +120,9 @@ class TrainLoader:
         seed: int = 0,
         prefetch: int = 2,
         filter_empty: bool = True,
+        resize_mode: str = "fixed",
+        min_size_range=(640, 800),
+        max_size: int = 1333,
     ):
         if filter_empty:  # reference DATALOADER.FILTER_EMPTY_ANNOTATIONS=True
             records = [r for r in records if r.get("annotations")]
@@ -109,6 +133,9 @@ class TrainLoader:
         self.train_size = train_size
         self.max_instances = max_instances
         self.augment = augment
+        self.resize_mode = resize_mode
+        self.min_size_range = min_size_range
+        self.max_size = max_size
         self.rng = np.random.default_rng(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error: Exception | None = None
@@ -140,7 +167,9 @@ class TrainLoader:
                 rec = self.records[order[pos]]
                 pos += 1
                 s = prepare_sample(
-                    rec, self.train_size, self.max_instances, self.augment, self.rng
+                    rec, self.train_size, self.max_instances, self.augment,
+                    self.rng, self.resize_mode, self.min_size_range,
+                    self.max_size,
                 )
                 if s is not None:
                     samples.append(s)

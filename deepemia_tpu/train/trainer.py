@@ -270,6 +270,11 @@ class TrainConfig:
     warmup_iters: int = 1000
     gamma: float = 0.1
     train_size: int = 512
+    # 'fixed' or 'range' (Detectron2 shortest-edge schedule inside the
+    # static train_size canvas — see data/loader.prepare_sample)
+    resize_mode: str = "fixed"
+    min_size_range: Tuple[int, int] = (640, 800)
+    max_size: int = 1333
     max_instances: int = 64
     augment: bool = False
     checkpoint_every: int = 1000
@@ -279,6 +284,10 @@ class TrainConfig:
     seed: int = 0
     # static proposal/sample capacity overrides (tiny for CI/dry runs)
     loss_caps: Optional[dict] = None
+    # zoo/pretrained weights to fine-tune from (Detectron2 .pth/.pkl, a
+    # Caffe2 backbone pickle, or an Orbax dir) — the reference always
+    # initializes training this way (train_model.py:128-134)
+    init_checkpoint: Optional[str] = None
 
 
 def auto_max_iter(num_images: int) -> int:
@@ -308,7 +317,27 @@ def train(
     max_iter = max_steps_override or cfg.max_iter or auto_max_iter(len(records))
     model = build_model(cfg.backbone, num_classes, use_bf16=cfg.use_bf16)
 
-    if init_checkpoint:
+    init_checkpoint = init_checkpoint or cfg.init_checkpoint
+    if init_checkpoint and init_checkpoint.endswith((".pth", ".pkl")):
+        # zoo/pretrained fine-tune path: overlay every compatible tensor,
+        # re-init class-count-dependent heads (reference always fine-tunes
+        # from model-zoo COCO weights, train_model.py:128-134)
+        from deepemia_tpu.models.weights import load_pretrained_params
+
+        params, info = load_pretrained_params(
+            os.path.expanduser(init_checkpoint),
+            model,
+            num_classes,
+            init_hw=(cfg.train_size, cfg.train_size),
+            seed=cfg.seed,
+        )
+        log.info(
+            "Fine-tuning from %s (%d tensors loaded, %d head/shape re-inits)",
+            init_checkpoint,
+            info["used"],
+            len(info["skipped"]),
+        )
+    elif init_checkpoint:
         from deepemia_tpu.data.models import load_model
 
         _, params = load_model(init_checkpoint, num_classes, cfg.use_bf16)
@@ -358,6 +387,9 @@ def train(
         cfg.max_instances,
         cfg.augment,
         cfg.seed,
+        resize_mode=cfg.resize_mode,
+        min_size_range=tuple(cfg.min_size_range),
+        max_size=cfg.max_size,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     metrics: Dict[str, float] = {}

@@ -124,12 +124,18 @@ def train_on_dataset(
     n_trials: int = 10,
     config: Optional[dict] = None,
     max_steps_override: Optional[int] = None,
-    train_size: int = 512,
+    train_size: Optional[int] = None,
     use_bf16: Optional[bool] = None,
+    init_checkpoint: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Train the requested backbones (rcnn: 0 = both, 50, 101), evaluate each
     on the test split, save final checkpoints under the discovery layout
-    (reference train_on_dataset, train_model.py:321-409)."""
+    (reference train_on_dataset, train_model.py:321-409).
+
+    ``init_checkpoint`` (or ``train.pretrained_weights.<backbone>`` in
+    config) fine-tunes from zoo/pretrained weights with head re-init on
+    class-count mismatch — the reference's standard recipe
+    (train_model.py:128-134)."""
     from deepemia_tpu.config import get_config
 
     config = config or get_config(dataset_name)
@@ -144,6 +150,9 @@ def train_on_dataset(
     backbones = {0: ["R50", "R101"], 50: ["R50"], 101: ["R101"]}[rcnn]
     if use_bf16 is None:
         use_bf16 = bool(config.get("performance", {}).get("use_bf16", True))
+    train_cfg_section = config.get("train", {})
+    if train_size is None:
+        train_size = int(train_cfg_section.get("train_size", 512))
 
     results: Dict[str, Dict[str, float]] = {}
     for backbone in backbones:
@@ -164,6 +173,9 @@ def train_on_dataset(
         out_dir = os.path.join(
             os.path.expanduser(split_dir), dataset_name, f"rcnn_{backbone.lower()}"
         )
+        pretrained = init_checkpoint or train_cfg_section.get(
+            "pretrained_weights", {}
+        ).get(backbone, "")
         cfg = TrainConfig(
             backbone=backbone,
             base_lr=float(hp.get("base_lr", 0.00025)),
@@ -172,9 +184,19 @@ def train_on_dataset(
             gamma=float(hp.get("gamma", 0.1)),
             augment=augment,
             train_size=train_size,
+            resize_mode=str(train_cfg_section.get("resize_mode", "fixed")),
+            min_size_range=tuple(
+                train_cfg_section.get("min_size_range", [640, 800])
+            ),
+            max_size=int(train_cfg_section.get("max_size", 1333)),
+            max_instances=int(train_cfg_section.get("max_instances", 64)),
             use_bf16=use_bf16,
+            init_checkpoint=pretrained or None,
         )
-        log.info("Training %s on %s: %s", backbone, dataset_name, hp)
+        log.info(
+            "Training %s on %s: %s%s", backbone, dataset_name, hp,
+            f" (fine-tuning from {pretrained})" if pretrained else "",
+        )
         ckpt, train_metrics = train(
             train_records,
             len(class_names),
