@@ -136,6 +136,7 @@ class InferencePipeline:
             )
         ts = self.inf.get("tile_settings", {})
         self.mask_threshold = float(self.inf.get("mask_threshold", 0.5))
+        self.measurement_window = int(self.inf.get("measurement_window", 192))
         engine_kw = dict(
             tile_size=int(ts.get("tile_size", 512)),
             overlap_ratio=float(ts.get("overlap_ratio", 0.1)),
@@ -146,7 +147,12 @@ class InferencePipeline:
             confidence_mode=str(self.inf.get("confidence_mode", "auto")),
             mesh=self._choose_inference_mesh(perf),
             tile_batch=int(ts.get("tile_batch_size", 8)),
+            full_pass_max_dim=int(ts.get("full_pass_max_dim", 2048)),
+            dedup_stride=int(ts.get("dedup_stride", 8)),
         )
+        cap = int(ts.get("instance_capacity", 0) or 0)
+        if cap > 0:
+            engine_kw["capacity"] = cap
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)
         for name, path in sorted(model_paths.items()):
@@ -370,14 +376,22 @@ class InferencePipeline:
             self._rle_cache[key] = (jax.jit(program), max_runs)
         program, max_runs = self._rle_cache[key]
         starts, lengths, n_runs = program(inst.mask_probs, inst.boxes, inst.valid)
-        if bool((np.asarray(n_runs) >= max_runs).any()):
-            log.warning(
-                "RLE run capacity (%d) reached for at least one mask — "
-                "encoding may be truncated; use measurement_backend=host or "
-                "visualize=True for exact host-side RLE",
-                max_runs,
+        return starts, lengths, n_runs, max_runs
+
+    def _full_mask_one(self, inst: InstanceSet, i: int, hw) -> np.ndarray:
+        """[H,W] bool for a single instance (exact-RLE fallback path)."""
+        import jax.numpy as jnp
+
+        # reuse the paste program via a 1-sized call (its own small
+        # compile-cache entry per hw)
+        paste = self._paste_program(hw)
+        return np.asarray(
+            paste(
+                jnp.asarray(inst.mask_probs[i : i + 1]),
+                jnp.asarray(inst.boxes[i : i + 1]),
+                jnp.asarray(inst.valid[i : i + 1]),
             )
-        return starts, lengths, n_runs
+        )[0]
 
     def _mask_windows(self, inst: InstanceSet, window: int = 192):
         """Per-instance [K,S,S] bool crops at native pixel scale (shrink-to-
@@ -425,11 +439,9 @@ class InferencePipeline:
         )
         return np.asarray(wins), np.asarray(origins), np.asarray(scales)
 
-    def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
-        """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
-        memory stays ~chunk·H·W instead of K·H·W."""
+    def _paste_program(self, hw):
+        """Cached jitted full-res mask paste for one image shape."""
         import jax
-        import jax.numpy as jnp
 
         from deepemia_tpu.ops.masks import paste_masks
 
@@ -442,7 +454,15 @@ class InferencePipeline:
                 lambda probs, boxes, valid: paste_masks(probs, boxes, h, w, thr)
                 & valid[:, None, None]
             )
-        paste = self._paste_cache[hw]
+        return self._paste_cache[hw]
+
+    def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
+        """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
+        memory stays ~chunk·H·W instead of K·H·W."""
+        import jax
+        import jax.numpy as jnp
+
+        paste = self._paste_program(hw)
         k = inst.capacity
         out = np.zeros((k, hw[0], hw[1]), bool)
         probs = inst.mask_probs
@@ -550,12 +570,28 @@ class InferencePipeline:
                         else:
                             # on-device RLE: only padded run tensors leave
                             # the device (ops/rle.rle_encode_batch_jax)
-                            starts, lengths, n_runs = self._device_rle(inst, hw)
+                            starts, lengths, n_runs, max_runs = self._device_rle(
+                                inst, hw
+                            )
                             starts = np.asarray(starts)
                             lengths = np.asarray(lengths)
                             n_runs = np.asarray(n_runs)
                             for i in kept:
                                 n = int(n_runs[i])
+                                if n >= max_runs:
+                                    # run capacity hit: a truncated RLE would
+                                    # corrupt the CSV row silently — re-encode
+                                    # this mask exactly on the host instead
+                                    log.info(
+                                        "Mask %d hit the device RLE run "
+                                        "capacity (%d) — exact host re-encode",
+                                        i, max_runs,
+                                    )
+                                    m = self._full_mask_one(inst, i, hw)
+                                    rle_rows.append(
+                                        (name, rle_to_string(rle_encode(m)))
+                                    )
+                                    continue
                                 pairs = np.empty(2 * n, np.int64)
                                 pairs[0::2] = starts[i, :n]
                                 pairs[1::2] = lengths[i, :n]
@@ -595,7 +631,9 @@ class InferencePipeline:
                                 measure_contrast=measure_contrast,
                             )
                         else:
-                            wins, origins, scales = self._mask_windows(inst)
+                            wins, origins, scales = self._mask_windows(
+                                inst, self.measurement_window
+                            )
                             rows = measurement_rows_host_windows(
                                 wins,
                                 origins,
