@@ -19,6 +19,19 @@ import jax
 # overrides JAX_PLATFORMS; config.update after import wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# re-compiling the same model programs every run (VERDICT r2 weak #6). With
+# the cache warm, repeat runs skip those compiles entirely. Override the
+# location with DEEPEMIA_TPU_TEST_XLA_CACHE; set it to "0" to disable.
+_cache = os.environ.get(
+    "DEEPEMIA_TPU_TEST_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_test_xla"),
+)
+if _cache != "0":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest
 
 
@@ -40,3 +53,16 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def tiny_r50():
+    """Session-shared tiny model: R50, 2 classes, f32, params at 64x64
+    (seed 0). Files that don't depend on a specific init seed should use
+    this instead of building their own (one init + one set of compiles per
+    session instead of per file — VERDICT r2 weak #6)."""
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+
+    model = build_model("R50", num_classes=2, use_bf16=False)
+    params = init_params(model, (64, 64), seed=0)
+    return model, params

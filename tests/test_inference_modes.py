@@ -187,17 +187,15 @@ def test_ensemble_secondary_class_filter():
     assert int(np.asarray(inst2.valid).sum()) == 2
 
 
-def test_downscaled_full_pass_recovers_objects_larger_than_a_tile():
+def test_downscaled_full_pass_recovers_objects_larger_than_a_tile(tiny_r50):
     """Images beyond full_pass_max_dim run a DOWNSCALED full pass: an
     interior object larger than a tile cannot be recovered from tiles
     (every partial view is edge-filtered), so the scaled pass must supply
     it (reference inference.py:2341 always runs a full pass)."""
     from deepemia_tpu.inference.engine import ClassSettings, TileEngine
-    from deepemia_tpu.models.mask_rcnn import build_model, init_params
     from deepemia_tpu.ops import masks as mask_ops
 
-    model = build_model("R50", num_classes=2, use_bf16=False)
-    params = init_params(model, (64, 64), seed=0)
+    model, params = tiny_r50
     engine = TileEngine(
         model, params, tile_size=128, overlap_ratio=0.2, upscale_factor=1.0,
         capacity=64, full_pass_max_dim=256,

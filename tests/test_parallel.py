@@ -61,13 +61,12 @@ def test_tile_sharded_engine_matches_single_device():
 
 
 @pytest.mark.slow
-def test_sharded_train_step_matches_single_device():
+def test_sharded_train_step_matches_single_device(tiny_r50):
     """Same batch + rng through the train step on a 1-device mesh and a
     4x2 (data x model) mesh must produce identical losses — the sharding
     must not change the math."""
     import numpy as np
 
-    from deepemia_tpu.models.mask_rcnn import build_model, init_params
     from deepemia_tpu.train.trainer import (
         TrainState,
         build_train_step,
@@ -76,9 +75,9 @@ def test_sharded_train_step_matches_single_device():
         state_shardings,
     )
 
-    model = build_model("R50", num_classes=2, use_bf16=False)
+    model, _params = tiny_r50
     # host copy: the train step donates its state, deleting device buffers
-    params_host = jax.device_get(init_params(model, (64, 64), seed=0))
+    params_host = jax.device_get(_params)
     caps = dict(pre_nms_topk=64, post_nms_topk=32, rpn_batch=32, roi_batch=32,
                 mask_rois=8)
     b, s, g = 4, 64, 2
