@@ -133,6 +133,10 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     "edge_filter_enabled": Field(types=bool, default=True),
                     "classes_using_tiling": Field(types=list, default=[0, 1]),
                     "tile_batch_size": Field(types=int, default=8),
+                    # run tiles at NATIVE resolution when the size heuristic
+                    # finds no small classes (upscale only helps small
+                    # objects; skipping it quarters tile conv FLOPs)
+                    "class_conditional_upscale": Field(types=bool, default=True),
                     # whole-image pass runs native up to this long side,
                     # downscaled above it (8k+ micrographs: raise at will)
                     "full_pass_max_dim": Field(types=int, default=2048),
@@ -169,6 +173,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "min_size_range": Field(types=list, default=[640, 800]),
             "max_size": Field(types=int, default=1333),
             "max_instances": Field(types=int, default=64),
+            # 0 = off; global-norm gradient clipping (needed for
+            # from-scratch training — FrozenBN has no normalization)
+            "grad_clip_norm": Field(types=Number, default=0),
         }
     ),
     "performance": _mapping(

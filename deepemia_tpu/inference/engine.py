@@ -23,7 +23,7 @@ which are data here, not compile-time constants.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,9 +203,9 @@ class TileEngine:
 
     # -- the traced whole-image program ------------------------------------
 
-    def _build(self, h: int, w: int):
+    def _build(self, h: int, w: int, up: Optional[float] = None):
         ts = self.tile_size
-        up = self.upscale_factor
+        up = self.upscale_factor if up is None else up
         ts_up = int(round(ts * up))
         # model inputs must be /64 for FPN p6
         ts_up -= ts_up % 64
@@ -372,14 +372,26 @@ class TileEngine:
         return jax.jit(program)
 
     def infer(
-        self, image: np.ndarray, settings: ClassSettings
+        self,
+        image: np.ndarray,
+        settings: ClassSettings,
+        upscale: Optional[float] = None,
     ) -> Tuple[InstanceSet, float]:
-        """Run the compiled pipeline for an [H,W,3] uint8/float BGR image."""
+        """Run the compiled pipeline for an [H,W,3] uint8/float BGR image.
+
+        ``upscale`` overrides the configured tile upscale factor for this
+        call (class-conditional upscale: when the size heuristic finds no
+        small classes, the pipeline passes 1.0 — native-resolution tiles
+        quarter the conv FLOPs of the default x2)."""
         h, w = int(image.shape[0]), int(image.shape[1])
-        key = (h, w)
+        eff_up = self.upscale_factor if upscale is None else upscale
+        key = (h, w, eff_up)
         if key not in self._compiled:
-            log.info("Compiling tile pipeline for %dx%d image", h, w)
-            self._compiled[key] = self._build(h, w)
+            log.info(
+                "Compiling tile pipeline for %dx%d image (upscale %.2g)",
+                h, w, eff_up,
+            )
+            self._compiled[key] = self._build(h, w, eff_up)
         # keep the native dtype for the host->device transfer (uint8 images
         # move 4x less data than f32; the program casts on device)
         image = jnp.asarray(image)

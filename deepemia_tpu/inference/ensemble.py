@@ -35,6 +35,7 @@ def run_ensemble(
     apply_weights: bool = True,
     capacity: int | None = None,
     secondary_class_filter=None,
+    upscale=None,
 ) -> Tuple[InstanceSet, float]:
     """Run all (name, engine, weight) members and fuse.
 
@@ -55,7 +56,7 @@ def run_ensemble(
     cap = capacity or max(e.capacity for _, e, _ in engines)
     for member_idx, (name, engine, weight) in enumerate(engines):
         try:
-            inst, quality = engine.infer(image, settings)
+            inst, quality = engine.infer(image, settings, upscale=upscale)
         except Exception as e:  # noqa: BLE001 - member isolation
             log.error("Ensemble member %s failed: %s", name, e)
             continue

@@ -53,6 +53,7 @@ def run_multiscale_inference(
     scales: Sequence[float] = BASELINE_SCALES,
     dedup_iou: float = 0.4,
     max_scale: float = 3.0,
+    upscale=None,
 ) -> Tuple[InstanceSet, float]:
     """Run the (non-tiled) forward at every scale and merge.
 
@@ -70,7 +71,7 @@ def run_multiscale_inference(
         nh = max(64, int(round(h * s / 64)) * 64)
         nw = max(64, int(round(w * s / 64)) * 64)
         resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        inst, quality = engine.infer(resized, settings)
+        inst, quality = engine.infer(resized, settings, upscale=upscale)
         # map boxes back to original coordinates
         sx, sy = w / nw, h / nh
         boxes = inst.boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)

@@ -166,6 +166,15 @@ class InferencePipeline:
         # large classes use the primary model alone; small classes get the
         # full ensemble (reference inference.py:819-826)
         self.ensemble_small_only = bool(es.get("small_classes_only", True))
+        # class-conditional upscale (VERDICT r2 next #3): when the size
+        # heuristic finds NO small classes, tiles run at native resolution —
+        # the default x2 upscale quadruples conv FLOPs for every class and
+        # only small classes benefit from it
+        self.class_conditional_upscale = bool(
+            ts.get("class_conditional_upscale", True)
+        )
+        self.configured_upscale = float(ts.get("upscale_factor", 2.0))
+        self._heuristic_valid = False
         pp = self.inf.get("postprocessing", {}) or {}
         self.postproc_enabled = bool(pp.get("enabled", True))
         self.postproc_min_small = float(pp.get("min_size_small", 0) or 0)
@@ -231,8 +240,10 @@ class InferencePipeline:
         if self._heuristics_done:
             return
         self._heuristics_done = True
-        needed = self.postproc_enabled or (
-            self.use_ensemble and self.ensemble_small_only
+        needed = (
+            self.postproc_enabled
+            or (self.use_ensemble and self.ensemble_small_only)
+            or (self.class_conditional_upscale and self.configured_upscale > 1)
         )
         if not needed or self.num_classes < 2 or not images:
             return
@@ -248,6 +259,7 @@ class InferencePipeline:
         _, engine, _ = self.engines[0]
         sizes = calculate_average_mask_sizes(engine, sample, self.settings)
         self.small_classes = determine_small_classes(sizes)
+        self._heuristic_valid = True
         log.info(
             "Size heuristic: small classes %s (avg sizes %s)",
             sorted(self.small_classes),
@@ -261,6 +273,15 @@ class InferencePipeline:
     def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, float]:
         hw = (image.shape[0], image.shape[1])
         settings = self.settings
+        # class-conditional upscale: native-resolution tiles when the size
+        # heuristic positively established there are no small classes
+        upscale = None
+        if (
+            self.class_conditional_upscale
+            and self._heuristic_valid
+            and not self.small_classes
+        ):
+            upscale = 1.0
         if self.use_iterative:
             # iterative mode: collect down to the floor threshold in the one
             # forward pass; the threshold ladder picks the final cut
@@ -280,6 +301,7 @@ class InferencePipeline:
                 secondary_class_filter=(
                     self.small_classes if self.ensemble_small_only else None
                 ),
+                upscale=upscale,
             )
         elif self.use_multiscale:
             from deepemia_tpu.inference.multiscale import run_multiscale_inference
@@ -291,10 +313,11 @@ class InferencePipeline:
                 settings,
                 scales=self.multiscale_scales,
                 max_scale=self.multiscale_max,
+                upscale=upscale,
             )
         else:
             _, engine, _ = self.engines[0]
-            inst, quality = engine.infer(image, settings)
+            inst, quality = engine.infer(image, settings, upscale=upscale)
         if self.use_iterative:
             from deepemia_tpu.inference.multiscale import (
                 iterative_threshold_inference,
