@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize", action="store_true", help="Run HPO search")
     p.add_argument("--n-trials", type=int, default=10)
     p.add_argument(
+        "--hpo-strategy",
+        default="halving",
+        choices=["halving", "random"],
+        help="successive halving (default) or flat random search",
+    )
+    p.add_argument(
         "--max-iter",
         type=int,
         default=None,
@@ -263,6 +269,7 @@ def run_task(args) -> int:
             config=cfg,
             max_steps_override=args.max_iter,
             init_checkpoint=args.pretrained_weights,
+            hpo_strategy=args.hpo_strategy,
         )
         for backbone, metrics in results.items():
             system_logger.info(

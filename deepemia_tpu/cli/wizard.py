@@ -71,6 +71,11 @@ def train_task() -> int:
     if _input("Run hyperparameter optimization? (y/n)", "n").lower() == "y":
         argv.append("--optimize")
         argv += ["--n-trials", _input("Number of trials", "10")]
+    pretrained = _input(
+        "Pretrained weights to fine-tune from (path, empty = config/none)", ""
+    )
+    if pretrained:
+        argv += ["--pretrained-weights", pretrained]
     return execute_command(argv)
 
 

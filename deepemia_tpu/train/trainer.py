@@ -93,12 +93,21 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     params=None,
+    grad_clip_norm: Optional[float] = None,
 ):
+    """``grad_clip_norm``: optional global-norm gradient clipping
+    (Detectron2 SOLVER.CLIP_GRADIENTS). Strongly recommended for
+    from-scratch training: FrozenBN provides no activation normalization,
+    so early RPN-regression gradients can diverge — the reference never
+    hits this because it always fine-tunes from zoo weights."""
     schedule = warmup_multistep_schedule(
         base_lr, max_iter, warmup_iters, gamma=gamma
     )
+    steps = [optax.add_decayed_weights(weight_decay)]
+    if grad_clip_norm:
+        steps.insert(0, optax.clip_by_global_norm(grad_clip_norm))
     tx = optax.chain(
-        optax.add_decayed_weights(weight_decay),
+        *steps,
         optax.sgd(learning_rate=schedule, momentum=momentum),
     )
     if params is not None:
@@ -288,6 +297,9 @@ class TrainConfig:
     # Caffe2 backbone pickle, or an Orbax dir) — the reference always
     # initializes training this way (train_model.py:128-134)
     init_checkpoint: Optional[str] = None
+    # global-norm gradient clipping; essential for from-scratch training
+    # (FrozenBN has no stabilizing normalization)
+    grad_clip_norm: Optional[float] = None
 
 
 def auto_max_iter(num_images: int) -> int:
@@ -350,6 +362,7 @@ def train(
         cfg.warmup_iters,
         cfg.gamma,
         params=params,
+        grad_clip_norm=cfg.grad_clip_norm,
     )
     state = TrainState.create(params, tx)
     mesh = make_mesh(cfg.n_model_shards, max_data=cfg.ims_per_batch)

@@ -12,9 +12,11 @@ Parity surface: reference ``src/functions/train_model.py`` and
   * ``evaluate_model`` (evaluate_model.py:36-152): test-split inference at
     threshold 0.45, metrics.csv, per-image prediction overlays — with the
     reference's Q1 broken call signature fixed;
-  * ``optimize_hyperparameters`` (train_model.py:249-319): the Optuna search
-    (not installed here) is replaced by seeded log-uniform random search over
-    the same space, maximizing segmentation AP.
+  * ``optimize_hyperparameters`` (train_model.py:249-319): the Optuna TPE
+    search (not installed here) is replaced by seeded successive halving
+    over the same space (short rung for every candidate, top third resumed
+    to the full budget), maximizing segmentation AP; ``strategy='random'``
+    gives the flat search.
 """
 
 from __future__ import annotations
@@ -127,6 +129,7 @@ def train_on_dataset(
     train_size: Optional[int] = None,
     use_bf16: Optional[bool] = None,
     init_checkpoint: Optional[str] = None,
+    hpo_strategy: str = "halving",
 ) -> Dict[str, Dict[str, float]]:
     """Train the requested backbones (rcnn: 0 = both, 50, 101), evaluate each
     on the test split, save final checkpoints under the discovery layout
@@ -166,6 +169,7 @@ def train_on_dataset(
                 config=config,
                 max_steps_override=max_steps_override or 200,
                 train_size=train_size,
+                strategy=hpo_strategy,
             )
             hp = best["params"]
         else:
@@ -192,6 +196,8 @@ def train_on_dataset(
             max_instances=int(train_cfg_section.get("max_instances", 64)),
             use_bf16=use_bf16,
             init_checkpoint=pretrained or None,
+            grad_clip_norm=float(train_cfg_section.get("grad_clip_norm", 0))
+            or None,
         )
         log.info(
             "Training %s on %s: %s%s", backbone, dataset_name, hp,
@@ -229,10 +235,18 @@ def optimize_hyperparameters(
     max_steps_override: int = 200,
     train_size: int = 512,
     seed: int = 0,
+    strategy: str = "halving",
 ) -> Dict:
-    """Seeded random search over the reference's Optuna space, maximizing
-    segm AP; persists the winner (reference optimize_hyperparameters,
-    train_model.py:295-319)."""
+    """HPO over the reference's Optuna space, maximizing segm AP; persists
+    the winner (reference optimize_hyperparameters, train_model.py:295-319).
+
+    ``strategy='halving'`` (default): successive halving — every candidate
+    trains a short rung (budget/4 steps), the top third resume their own
+    checkpoints to the full budget, and the best full-budget AP wins. At
+    equal trial counts this spends ~half the step budget of plain random
+    search while ranking the surviving configs at full fidelity — the
+    closest cheap stand-in for the reference's Optuna TPE (not installed
+    here). ``strategy='random'`` is the flat search."""
     rng = np.random.default_rng(seed)
     from deepemia_tpu.config import get_config
 
@@ -259,32 +273,35 @@ def optimize_hyperparameters(
                 out[name] = float(rng.uniform(spec[1], spec[2]))
         return out
 
-    best = {"value": -1.0, "params": {}}
-    for trial in range(n_trials):
-        hp = sample()
-        out_dir = os.path.join(
+    def trial_dir(trial: int) -> str:
+        return os.path.join(
             os.path.expanduser(split_dir),
             dataset_name,
             f"hpo_{backbone.lower()}_t{trial}",
         )
+
+    def run_trial(trial: int, hp: Dict, steps: int, resume: bool) -> float:
+        """Train (or continue) one candidate for ``steps`` total steps and
+        return its AP; -1 on failure (trial isolation, reference swallows
+        Optuna trial errors the same way)."""
         cfg = TrainConfig(
             backbone=backbone,
             base_lr=hp["base_lr"],
             ims_per_batch=hp["ims_per_batch"],
-            warmup_iters=min(hp["warmup_iters"], max_steps_override // 2),
+            warmup_iters=min(hp["warmup_iters"], steps // 2),
             gamma=hp["gamma"],
             augment=augment,
             train_size=train_size,
-            checkpoint_every=max_steps_override,
+            checkpoint_every=steps,
         )
         try:
             ckpt, _ = train(
                 train_records,
                 len(class_names),
-                out_dir,
+                trial_dir(trial),
                 cfg,
-                max_steps_override=max_steps_override,
-                resume=False,
+                max_steps_override=steps,
+                resume=resume,
             )
             metrics = evaluate_model(
                 dataset_name,
@@ -298,10 +315,40 @@ def optimize_hyperparameters(
         except Exception as e:  # noqa: BLE001 - trial isolation
             log.error("HPO trial %d failed: %s", trial, e)
             ap = -1.0
-        log.info("HPO trial %d: AP=%.2f params=%s", trial, ap, hp)
-        if np.isfinite(ap) and ap > best["value"]:
-            best = {"value": float(ap), "params": hp}
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not np.isfinite(ap):
+            ap = -1.0
+        log.info(
+            "HPO trial %d @%d steps: AP=%.2f params=%s", trial, steps, ap, hp
+        )
+        return float(ap)
+
+    best = {"value": -1.0, "params": {}}
+    candidates = [sample() for _ in range(n_trials)]
+    try:
+        if strategy == "halving" and n_trials >= 3:
+            rung0 = max(50, max_steps_override // 4)
+            scored = [
+                (run_trial(i, hp, rung0, resume=False), i)
+                for i, hp in enumerate(candidates)
+            ]
+            n_keep = max(1, -(-n_trials // 3))
+            survivors = sorted(scored, key=lambda t: -t[0])[:n_keep]
+            log.info(
+                "HPO halving: rung 0 done (%d steps), promoting %d/%d",
+                rung0, n_keep, n_trials,
+            )
+            for _, i in survivors:
+                ap = run_trial(i, candidates[i], max_steps_override, resume=True)
+                if ap > best["value"]:
+                    best = {"value": ap, "params": candidates[i]}
+        else:
+            for i, hp in enumerate(candidates):
+                ap = run_trial(i, hp, max_steps_override, resume=False)
+                if ap > best["value"]:
+                    best = {"value": ap, "params": hp}
+    finally:
+        for i in range(n_trials):
+            shutil.rmtree(trial_dir(i), ignore_errors=True)
     if best["params"]:
         save_best_rcnn_hyperparameters(backbone, best["params"], dataset_name)
     return best

@@ -1,0 +1,258 @@
+"""Full-detector parity harness (VERDICT r2 next #2).
+
+Trains a small R50 on synthetic blob micrographs until it genuinely
+detects them, exports the weights to a Detectron2-named state dict, and
+compares the statically-shaped Flax chain against the dynamic torch/numpy
+oracle (tests/oracle_torch.py) DETECTION-FOR-DETECTION, then as bbox+segm
+AP against a common ground truth (deepemia_tpu/train/evaluator.py).
+
+Used by tests/test_parity_oracle.py (assertions) and tools/run_parity.py
+(writes PARITY.md with the measured numbers).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import cv2
+import numpy as np
+
+
+def make_blob_records(img_dir, n_images, size=128, seed=0) -> List[dict]:
+    """Synthetic EM-ish micrographs: bright round particles (class 0) and
+    darker elongated pores (class 1) on a noisy background, with polygon
+    ground truth."""
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    records = []
+    for i in range(n_images):
+        im = rng.normal(45, 6, (size, size)).clip(0, 255).astype(np.uint8)
+        im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+        annos = []
+        for _ in range(int(rng.integers(2, 5))):
+            cls = int(rng.integers(0, 2))
+            cx = int(rng.integers(18, size - 18))
+            cy = int(rng.integers(18, size - 18))
+            if cls == 0:
+                r = int(rng.integers(8, 15))
+                ax, ay, ang = r, r, 0
+                color = (215, 215, 215)
+            else:
+                ax = int(rng.integers(10, 16))
+                ay = int(rng.integers(5, 8))
+                ang = float(rng.uniform(0, 180))
+                color = (120, 120, 120)
+            cv2.ellipse(im, (cx, cy), (ax, ay), ang, 0, 360, color, -1)
+            t = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+            ca, sa = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+            px = cx + ax * np.cos(t) * ca - ay * np.sin(t) * sa
+            py = cy + ax * np.cos(t) * sa + ay * np.sin(t) * ca
+            poly = np.stack([px, py], -1).reshape(-1).tolist()
+            x0, y0 = float(px.min()), float(py.min())
+            x1, y1 = float(px.max()), float(py.max())
+            annos.append(
+                {
+                    "bbox": [x0, y0, x1, y1],
+                    "bbox_mode": "XYXY_ABS",
+                    "segmentation": [poly],
+                    "category_id": cls,
+                }
+            )
+        p = os.path.join(img_dir, f"blob{i}.png")
+        cv2.imwrite(p, im)
+        records.append(
+            {
+                "file_name": p,
+                "image_id": i,
+                "height": size,
+                "width": size,
+                "annotations": annos,
+            }
+        )
+    return records
+
+
+def train_blob_detector(records, out_dir, steps=300, size=128):
+    """Train R50 (f32) until it detects blobs; returns (model, params, sd)."""
+    from deepemia_tpu.data.models import load_model
+    from deepemia_tpu.models.weights import export_detectron2_state_dict
+    from deepemia_tpu.train.trainer import TrainConfig, train
+
+    cfg = TrainConfig(
+        backbone="R50",
+        base_lr=0.00025,
+        ims_per_batch=2,
+        train_size=size,
+        max_instances=8,
+        warmup_iters=50,
+        checkpoint_every=10_000,
+        log_every=50,
+        use_bf16=False,
+        # from-scratch (no zoo weights in the image): FrozenBN gives no
+        # normalization, so clip gradients to keep the early RPN-regression
+        # spikes from diverging the run
+        grad_clip_norm=1.0,
+        loss_caps=dict(
+            pre_nms_topk=256,
+            post_nms_topk=128,
+            rpn_batch=128,
+            roi_batch=128,
+            mask_rois=32,
+        ),
+    )
+    ckpt, metrics = train(records, 2, out_dir, cfg, max_steps_override=steps)
+    model, params = load_model(ckpt, num_classes=2, use_bf16=False)
+    sd = export_detectron2_state_dict(params, 50)
+    return model, params, sd, metrics
+
+
+def flax_predict_np(model, params, image_bgr, score_threshold=0.05):
+    """Flax chain -> numpy detections dict (same schema as the oracle)."""
+    import jax.numpy as jnp
+
+    from deepemia_tpu.models.mask_rcnn import predict
+    from deepemia_tpu.ops.masks import paste_masks
+
+    h, w = image_bgr.shape[:2]
+    det = predict(
+        model, params, jnp.asarray(image_bgr, jnp.float32),
+        score_threshold=score_threshold,
+    )
+    valid = np.asarray(det.valid)
+    boxes = np.asarray(det.boxes)[valid]
+    scores = np.asarray(det.scores)[valid]
+    classes = np.asarray(det.classes)[valid]
+    probs = np.asarray(det.mask_probs)[valid]
+    if len(boxes):
+        masks = np.asarray(
+            paste_masks(
+                jnp.asarray(probs), jnp.asarray(boxes), h, w, 0.5
+            )
+        )
+    else:
+        masks = np.zeros((0, h, w), bool)
+    return {
+        "boxes": boxes,
+        "scores": scores,
+        "classes": classes,
+        "masks": masks,
+    }
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not len(a) or not len(b):
+        return np.zeros((len(a), len(b)))
+    x0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    bb = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + bb[None, :] - inter, 1e-9)
+
+
+def match_detections(
+    a: Dict, b: Dict, iou_thr=0.85, score_tol=0.05, mask_iou_thr=0.8
+) -> Dict[str, float]:
+    """Greedy score-ordered matching a<->b; returns match statistics."""
+    iou = _iou_matrix(a["boxes"], b["boxes"])
+    used = np.zeros(len(b["boxes"]), bool)
+    n_match = 0
+    mask_ious: List[float] = []
+    score_diffs: List[float] = []
+    for i in np.argsort(-a["scores"], kind="stable"):
+        cand = np.where(
+            (iou[i] > iou_thr) & ~used & (b["classes"] == a["classes"][i])
+        )[0]
+        if not len(cand):
+            continue
+        j = cand[np.argmax(iou[i][cand])]
+        used[j] = True
+        n_match += 1
+        score_diffs.append(abs(float(a["scores"][i]) - float(b["scores"][j])))
+        ma, mb = a["masks"][i], b["masks"][j]
+        inter = float(np.logical_and(ma, mb).sum())
+        union = float(np.logical_or(ma, mb).sum())
+        mask_ious.append(inter / union if union else 1.0)
+    denom = max(len(a["boxes"]), len(b["boxes"]), 1)
+    good_scores = sum(1 for s in score_diffs if s <= score_tol)
+    good_masks = sum(1 for m in mask_ious if m >= mask_iou_thr)
+    return {
+        "n_a": len(a["boxes"]),
+        "n_b": len(b["boxes"]),
+        "n_match": n_match,
+        "match_rate": n_match / denom,
+        "score_ok_rate": good_scores / max(n_match, 1),
+        "mask_ok_rate": good_masks / max(n_match, 1),
+        "mean_score_diff": float(np.mean(score_diffs)) if score_diffs else 0.0,
+        "mean_mask_iou": float(np.mean(mask_ious)) if mask_ious else 1.0,
+    }
+
+
+def run_parity(work_dir, train_steps=300, n_test=10, score_threshold=0.05):
+    """Full harness. Returns a report dict with per-image match stats and
+    the AP deltas."""
+    from deepemia_tpu.data.datasets import rasterize_annotations
+    from deepemia_tpu.train.evaluator import evaluate_predictions
+    from tests.oracle_torch import torch_predict
+
+    train_recs = make_blob_records(
+        os.path.join(work_dir, "train_imgs"), 16, seed=0
+    )
+    test_recs = make_blob_records(
+        os.path.join(work_dir, "test_imgs"), n_test, seed=100
+    )
+    model, params, sd, train_metrics = train_blob_detector(
+        train_recs, os.path.join(work_dir, "model"), steps=train_steps
+    )
+
+    per_image_flax, per_image_oracle, matches = [], [], []
+    for rec in test_recs:
+        img = cv2.imread(rec["file_name"], cv2.IMREAD_COLOR)
+        flax_det = flax_predict_np(model, params, img, score_threshold)
+        oracle_det = torch_predict(
+            sd, img.astype(np.float32), 2, score_threshold=score_threshold
+        )
+        matches.append(match_detections(flax_det, oracle_det))
+        gt_masks = np.asarray(rasterize_annotations(rec))
+        gt = {
+            "gt_boxes": np.asarray(
+                [a["bbox"] for a in rec["annotations"]], np.float32
+            ),
+            "gt_classes": np.asarray(
+                [a["category_id"] for a in rec["annotations"]], np.int32
+            ),
+            "gt_masks": gt_masks,
+        }
+        per_image_flax.append(
+            {
+                "pred_boxes": flax_det["boxes"],
+                "pred_scores": flax_det["scores"],
+                "pred_classes": flax_det["classes"],
+                "pred_masks": flax_det["masks"],
+                **gt,
+            }
+        )
+        per_image_oracle.append(
+            {
+                "pred_boxes": oracle_det["boxes"],
+                "pred_scores": oracle_det["scores"],
+                "pred_classes": oracle_det["classes"],
+                "pred_masks": oracle_det["masks"],
+                **gt,
+            }
+        )
+    ap_flax = evaluate_predictions(per_image_flax, 2)
+    ap_oracle = evaluate_predictions(per_image_oracle, 2)
+    return {
+        "train_metrics": train_metrics,
+        "matches": matches,
+        "ap_flax": ap_flax,
+        "ap_oracle": ap_oracle,
+        "delta_bbox_ap": abs(ap_flax["bbox/AP"] - ap_oracle["bbox/AP"]),
+        "delta_segm_ap": abs(
+            ap_flax.get("segm/AP", 0.0) - ap_oracle.get("segm/AP", 0.0)
+        ),
+    }

@@ -280,15 +280,16 @@ def test_finetune_starts_below_random_init(tmp_path):
     def cfg(init_ckpt=None):
         return TrainConfig(
             backbone="R50", ims_per_batch=2, train_size=128, max_instances=8,
-            base_lr=0.002, checkpoint_every=1000, log_every=100,
-            use_bf16=False, warmup_iters=5, loss_caps=caps,
-            init_checkpoint=init_ckpt,
+            base_lr=0.00025, checkpoint_every=1000, log_every=100,
+            use_bf16=False, warmup_iters=10, loss_caps=caps,
+            grad_clip_norm=1.0, init_checkpoint=init_ckpt,
         )
 
     # phase A: pretrain from scratch, export as a D2-named pickle
     ckpt_a, m_a = train(
         records, 2, str(tmp_path / "a"), cfg(), max_steps_override=60
     )
+    assert np.isfinite(m_a["total"]), m_a
     _, params_a = load_model(ckpt_a, num_classes=2, use_bf16=False)
     from deepemia_tpu.models.weights import export_detectron2_state_dict
 

@@ -193,3 +193,86 @@ def test_cli_prepare_task(tmp_home, tmp_path):
     assert split.exists()
     data = json.loads(split.read_text())
     assert len(data["train"]) == 8 and len(data["test"]) == 2
+
+
+def test_hpo_successive_halving_schedule(tmp_home, monkeypatch, tmp_path):
+    """Halving strategy: every candidate runs a short rung, the top third
+    resume (resume=True) to the full budget, the winner is a survivor's
+    full-budget AP, and trial dirs are cleaned up."""
+    import deepemia_tpu.train.workflow as wf
+
+    calls = []
+    # deterministic AP: trial index decides quality; full-budget runs score
+    # higher than rung-0 runs so the promotion visibly matters
+    state = {"trial_of_ckpt": {}}
+
+    def fake_train(records, nc, out_dir, cfg, max_steps_override=None,
+                   resume=True):
+        trial = int(out_dir.rsplit("_t", 1)[1])
+        calls.append((trial, max_steps_override, resume))
+        ckpt = f"{out_dir}/ckpt"
+        state["trial_of_ckpt"][ckpt] = trial
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        return ckpt, {"total": 1.0}
+
+    def fake_eval(dataset_name, split_dir, rcnn=50, config=None,
+                  checkpoint=None, visualize=True, **kw):
+        trial = state["trial_of_ckpt"][checkpoint]
+        steps = [c[1] for c in calls if c[0] == trial][-1]
+        return {"segm/AP": trial + (50.0 if steps == 200 else 0.0)}
+
+    monkeypatch.setattr(wf, "train", fake_train)
+    monkeypatch.setattr(wf, "evaluate_model", fake_eval)
+    monkeypatch.setattr(wf, "read_dataset_info",
+                        lambda p: {"ds": ["/x", "/x", ["a", "b"]]})
+    monkeypatch.setattr(wf, "register_datasets",
+                        lambda *a, **k: ["a", "b"])
+    monkeypatch.setattr(wf, "_registered_records",
+                        lambda *a: [{"file_name": "x", "annotations": [1]}])
+
+    from deepemia_tpu.config import get_config
+
+    best = wf.optimize_hyperparameters(
+        "ds", str(tmp_path), backbone="R50", n_trials=6,
+        config=get_config(), max_steps_override=200, strategy="halving",
+    )
+    rung0 = [c for c in calls if c[1] == 50]
+    rung1 = [c for c in calls if c[1] == 200]
+    assert len(rung0) == 6 and all(not c[2] for c in rung0)
+    assert len(rung1) == 2 and all(c[2] for c in rung1)  # top third resumed
+    # rung-0 AP ranks by trial index -> survivors are trials 4 and 5
+    assert sorted(c[0] for c in rung1) == [4, 5]
+    assert best["value"] == 55.0  # trial 5 at full budget
+    # cleanup ran
+    import glob
+
+    assert not glob.glob(str(tmp_path / "ds" / "hpo_r50_t*"))
+
+
+def test_hpo_random_strategy_unchanged(tmp_home, monkeypatch, tmp_path):
+    import deepemia_tpu.train.workflow as wf
+
+    calls = []
+
+    def fake_train(records, nc, out_dir, cfg, max_steps_override=None,
+                   resume=True):
+        calls.append((max_steps_override, resume))
+        return f"{out_dir}/ckpt", {"total": 1.0}
+
+    monkeypatch.setattr(wf, "train", fake_train)
+    monkeypatch.setattr(wf, "evaluate_model",
+                        lambda *a, **k: {"segm/AP": 1.0})
+    monkeypatch.setattr(wf, "read_dataset_info",
+                        lambda p: {"ds": ["/x", "/x", ["a", "b"]]})
+    monkeypatch.setattr(wf, "register_datasets", lambda *a, **k: ["a", "b"])
+    monkeypatch.setattr(wf, "_registered_records",
+                        lambda *a: [{"file_name": "x", "annotations": [1]}])
+    from deepemia_tpu.config import get_config
+
+    wf.optimize_hyperparameters(
+        "ds", str(tmp_path), backbone="R50", n_trials=3,
+        config=get_config(), max_steps_override=100, strategy="random",
+    )
+    assert calls == [(100, False)] * 3

@@ -60,7 +60,9 @@ def main():
                         p, f, (TILE, TILE), score_threshold=0.05,
                         method=model_cls.detect_from_features,
                     )
-                    return det.scores.sum()
+                    # consume masks too: scores alone let XLA dead-code
+                    # eliminate the whole mask head
+                    return det.scores.sum() + det.mask_probs.sum()
 
                 return jax.lax.map(heads, feats).sum()
 
@@ -104,7 +106,7 @@ def main():
                             fe, bx, vl, hw, score_threshold=0.05
                         ),
                     )
-                    return det.scores.sum()
+                    return det.scores.sum() + det.mask_probs.sum()
 
                 return jax.lax.map(
                     one,
