@@ -43,7 +43,17 @@ def bench_tile_throughput(jax, jnp):
     params = init_params(model, (TILE, TILE), seed=0)
     engine = TileEngine(model, params)
 
-    fn = jax.jit(lambda p, ts: engine._forward_tile_batch(p, ts))
+    if engine._resolve_serving() == "split":
+        # the engine's TPU serving pattern: conv-pure feature program +
+        # separate Pallas-RoIAlign heads program
+        feats_j, heads_j = map(jax.jit, engine.tile_forward_programs(TILE, TILE))
+
+        def fn(p, ts):
+            feats, lg, rg = feats_j(p, ts)
+            return heads_j(p, feats, lg, rg)
+
+    else:
+        fn = jax.jit(lambda p, ts: engine._forward_tile_batch(p, ts))
     rng = np.random.default_rng(0)
     tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
     for _ in range(WARMUP):

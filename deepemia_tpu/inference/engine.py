@@ -132,6 +132,7 @@ class TileEngine:
         full_pass_max_dim: int = 2048,
         confidence_mode: str = "auto",
         tile_batch: int = 8,
+        serving: str = "auto",
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
@@ -171,7 +172,16 @@ class TileEngine:
         # 'auto': thresholds scale down on poor-quality images (reference
         # adaptive_confidence_threshold); 'manual': thresholds used verbatim
         self.confidence_mode = confidence_mode
-        self._compiled: Dict[Tuple[int, int], Any] = {}
+        # 'fused': one XLA program per image geometry. 'split': conv-pure
+        # feature program + separate RoI-heads program per tile chunk — a
+        # Mosaic (Pallas) custom call in the same module as the backbone
+        # convs suppresses XLA's space-to-batch rewrite (~3x slower convs),
+        # so the Pallas RoIAlign only wins when the heads live in their own
+        # program (measured: 78.8 fused-xla vs 97.1 split-pallas tiles/s on
+        # v5e). 'auto' = split on single-chip TPU, fused otherwise (the
+        # shard_map tile mesh keeps the fused path).
+        self.serving = serving
+        self._compiled: Dict[Tuple, Any] = {}
 
     # -- single forward on a fixed-size input -------------------------------
 
@@ -200,6 +210,42 @@ class TileEngine:
             return detections_to_instances(det)
 
         return jax.lax.map(heads, feats)
+
+    def _finish_batch(
+        self, inst_b: InstanceSet, offs_b, ok_b, ts: int, scale: float,
+        h: int, w: int,
+    ) -> InstanceSet:
+        """Edge filter + tile->global coords, vectorized over a [B,D,...]
+        batch of per-tile instance sets (shared by the fused and split
+        serving paths)."""
+        local = inst_b.boxes / scale  # [B,D,4] tile units
+        keep = jnp.ones(local.shape[:2], bool)
+        if self.edge_filter:
+            b, d = local.shape[:2]
+            edge = mask_ops.is_edge_mask(
+                local.reshape(-1, 4), ts, self.overlap_ratio
+            ).reshape(b, d)
+            # never drop instances at the global image border: their tile
+            # edge IS the image edge (the reference drops them — a
+            # deliberate fix, SURVEY.md Q-class)
+            gx0 = local[..., 0] + offs_b[:, None, 0]
+            gy0 = local[..., 1] + offs_b[:, None, 1]
+            gx1 = local[..., 2] + offs_b[:, None, 0]
+            gy1 = local[..., 3] + offs_b[:, None, 1]
+            at_border = (
+                (gx0 <= 2.0)
+                | (gy0 <= 2.0)
+                | (gx1 >= w - 2.0)
+                | (gy1 >= h - 2.0)
+            )
+            keep = ~edge | at_border
+        gboxes = tile_ops.tile_boxes_to_global(
+            inst_b.boxes, offs_b, scale=scale
+        )
+        return inst_b._replace(
+            boxes=gboxes,
+            valid=inst_b.valid & keep & ok_b[:, None],
+        )
 
     # -- the traced whole-image program ------------------------------------
 
@@ -246,35 +292,8 @@ class TileEngine:
                 scale = ts_up / ts
 
                 def finish_batch(inst_b: InstanceSet, offs_b, ok_b):
-                    """Edge filter + tile->global coords, vectorized over a
-                    [B,D,...] batch of per-tile instance sets."""
-                    local = inst_b.boxes / scale  # [B,D,4] tile units
-                    keep = jnp.ones(local.shape[:2], bool)
-                    if self.edge_filter:
-                        b, d = local.shape[:2]
-                        edge = mask_ops.is_edge_mask(
-                            local.reshape(-1, 4), ts, self.overlap_ratio
-                        ).reshape(b, d)
-                        # never drop instances at the global image border:
-                        # their tile edge IS the image edge (the reference
-                        # drops them — a deliberate fix, SURVEY.md Q-class)
-                        gx0 = local[..., 0] + offs_b[:, None, 0]
-                        gy0 = local[..., 1] + offs_b[:, None, 1]
-                        gx1 = local[..., 2] + offs_b[:, None, 0]
-                        gy1 = local[..., 3] + offs_b[:, None, 1]
-                        at_border = (
-                            (gx0 <= 2.0)
-                            | (gy0 <= 2.0)
-                            | (gx1 >= w - 2.0)
-                            | (gy1 >= h - 2.0)
-                        )
-                        keep = ~edge | at_border
-                    gboxes = tile_ops.tile_boxes_to_global(
-                        inst_b.boxes, offs_b, scale=scale
-                    )
-                    return inst_b._replace(
-                        boxes=gboxes,
-                        valid=inst_b.valid & keep & ok_b[:, None],
+                    return self._finish_batch(
+                        inst_b, offs_b, ok_b, ts, scale, h, w
                     )
 
                 def run_tiles(tiles_, offsets_, ok_):
@@ -371,6 +390,207 @@ class TileEngine:
 
         return jax.jit(program)
 
+    # -- split serving: conv-pure feature program + Pallas heads program ----
+
+    def _resolve_serving(self) -> str:
+        if self.serving != "auto":
+            return self.serving
+        if self.mesh is not None:
+            return "fused"  # shard_map tile mesh stays on the fused path
+        return "split" if jax.default_backend() == "tpu" else "fused"
+
+    def tile_forward_programs(self, ts: int, ts_up: int):
+        """The split serving path's two per-chunk stages (unjitted):
+
+          feats_fn(params, tiles [B,ts,ts,3]) ->
+              (feats {lv: [B,h,w,C]}, rpn logits, rpn deltas)
+              — upscale + backbone + FPN + RPN-head: conv-pure, no Mosaic
+          heads_fn(params, feats, logits, regs) -> InstanceSet [B,D,...]
+              — proposal selection + RoI heads (Pallas RoIAlign on TPU)
+
+        Shared by ``_build_split`` and the benchmark harness so the
+        measured serving pattern IS the product serving pattern.
+        """
+        from deepemia_tpu.models import anchors as anchor_lib
+        from deepemia_tpu.models.rpn import select_proposals
+
+        heads_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        heads_model = self.model.clone(roi_backend=heads_backend)
+        model_cls = type(self.model)
+
+        def feats_fn(params, tiles_c):
+            if ts_up != ts:
+                tiles_c = jax.vmap(
+                    lambda t: jax.image.resize(
+                        t.astype(jnp.float32), (ts_up, ts_up, 3), "linear"
+                    )
+                )(tiles_c)
+            feats = jax.vmap(
+                lambda t: self.model.apply(params, t, method=model_cls.features)
+            )(tiles_c)
+            logits, regs = self.model.apply(
+                params,
+                {k: v for k, v in feats.items()},
+                method=lambda m, f: m.rpn_head(f),
+            )
+            return feats, logits, regs
+
+        def heads_fn(params, feats, logits, regs):
+            feat_shapes = {
+                k: (v.shape[1], v.shape[2]) for k, v in feats.items()
+            }
+            anchors = anchor_lib.all_anchors(feat_shapes)
+
+            def one(args):
+                f, lg, rg = args
+                proposals = select_proposals(lg, rg, anchors, (ts_up, ts_up))
+                det = heads_model.apply(
+                    params,
+                    {k: f[k] for k in ("p2", "p3", "p4", "p5")},
+                    proposals.boxes,
+                    proposals.valid,
+                    (ts_up, ts_up),
+                    method=lambda m, fe, bx, vl, hw: m.roi_heads(
+                        fe, bx, vl, hw, score_threshold=0.05
+                    ),
+                )
+                return detections_to_instances(det)
+
+            return jax.lax.map(
+                one,
+                (
+                    feats,
+                    {k: v for k, v in logits.items()},
+                    {k: v for k, v in regs.items()},
+                ),
+            )
+
+        return feats_fn, heads_fn
+
+    def _build_split(self, h: int, w: int, up: Optional[float] = None):
+        """Host-driven multi-program schedule with identical semantics to
+        the fused program:
+
+          P0  full pass (+ quality + tile extraction)   [conv XLA]
+          P1  per chunk: upscale + backbone/FPN + RPN    [conv XLA, batched]
+          P2  per chunk: proposals + RoI heads + edge    [Mosaic allowed]
+          P3  concat + class thresholds + global dedup
+
+        Keeping the Mosaic custom call out of P0/P1 preserves XLA's
+        space-to-batch conv rewrite; P2 then takes the Pallas RoIAlign win
+        (97.1 vs 78.8 tiles/s measured on v5e, tools/bench_split_heads.py).
+        All arrays stay on device between programs.
+        """
+        ts = self.tile_size
+        up_f = self.upscale_factor if up is None else up
+        ts_up = int(round(ts * up_f))
+        ts_up -= ts_up % 64
+        grid = tile_ops.compute_tile_grid(h, w, ts, self.overlap_ratio)
+        fh = h + (-h) % 64
+        fw = w + (-w) % 64
+        native_full = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
+        if not native_full:
+            ds = self.full_pass_max_dim / max(h, w)
+            dh = max(64, int(round(h * ds / 64)) * 64)
+            dw = max(64, int(round(w * ds / 64)) * 64)
+
+        tiling = self.use_tiling and grid.num_tiles > 1
+        scale = ts_up / ts
+        chunk = min(self.tile_batch, max(grid.num_tiles, 1))
+        pad_t = (-grid.num_tiles) % chunk if tiling else 0
+        n_chunks = (grid.num_tiles + pad_t) // chunk if tiling else 0
+
+        def p0(params, image):
+            quality = image_quality_score(image)
+            if self.confidence_mode == "manual":
+                qscale = jnp.float32(1.0)
+            else:
+                qscale = adaptive_threshold_scale(quality)
+            if native_full:
+                padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
+                full_inst = self._forward(params, padded)
+            else:
+                small = jax.image.resize(
+                    image.astype(jnp.float32), (dh, dw, 3), "linear"
+                )
+                inst = self._forward(params, small)
+                back = jnp.asarray(
+                    [w / dw, h / dh, w / dw, h / dh], jnp.float32
+                )
+                full_inst = inst._replace(boxes=inst.boxes * back)
+            if tiling:
+                tiles = tile_ops.extract_tiles(image, grid)
+                if pad_t:
+                    tiles = jnp.pad(
+                        tiles, ((0, pad_t), (0, 0), (0, 0), (0, 0))
+                    )
+                tiles = tiles.reshape(n_chunks, chunk, ts, ts, tiles.shape[-1])
+            else:
+                tiles = jnp.zeros((0,))
+            return full_inst, quality, qscale, tiles
+
+        feats_fn, heads_fn = self.tile_forward_programs(ts, ts_up)
+
+        def p1(params, tiles_c):
+            return feats_fn(params, tiles_c)
+
+        def p2(params, feats, logits, regs, offs_c, ok_c):
+            inst_b = heads_fn(params, feats, logits, regs)
+            return self._finish_batch(inst_b, offs_c, ok_c, ts, scale, h, w)
+
+        def p3(parts, settings, qscale):
+            merged = concat_instances(list(parts), self.capacity)
+            merged = apply_class_thresholds(merged, settings, qscale)
+            stride = max(self.dedup_stride, -(-max(h, w) // 512))
+            return dedup_by_mask_iou(
+                merged,
+                (h, w),
+                self.dedup_iou,
+                stride=stride,
+                class_aware=True,
+            )
+
+        p0_j = jax.jit(p0)
+        p1_j = jax.jit(p1)
+        p2_j = jax.jit(p2)
+        p3_j = jax.jit(p3)
+
+        # static per-chunk offsets/validity from the (static) grid
+        if tiling:
+            offs = np.asarray(grid.offsets, np.float32)
+            ok = np.ones((grid.num_tiles,), bool)
+            if pad_t:
+                offs = np.pad(offs, ((0, pad_t), (0, 0)))
+                ok = np.pad(ok, (0, pad_t))
+            offs_c = offs.reshape(n_chunks, chunk, 2)
+            ok_c = ok.reshape(n_chunks, chunk)
+
+        def program(params, image, settings):
+            full_inst, quality, qscale, tiles = p0_j(params, image)
+            parts = [full_inst]
+            if tiling:
+                for i in range(n_chunks):
+                    feats, logits, regs = p1_j(params, tiles[i])
+                    flat = p2_j(
+                        params, feats, logits, regs, offs_c[i], ok_c[i]
+                    )
+                    # chunk sets arrive [chunk, D, ...]: flatten rows
+                    parts.append(
+                        InstanceSet(
+                            boxes=flat.boxes.reshape(-1, 4),
+                            scores=flat.scores.reshape(-1),
+                            classes=flat.classes.reshape(-1),
+                            valid=flat.valid.reshape(-1),
+                            mask_probs=flat.mask_probs.reshape(
+                                -1, *flat.mask_probs.shape[2:]
+                            ),
+                        )
+                    )
+            merged = p3_j(tuple(parts), settings, qscale)
+            return merged, quality
+
+        return program
+
     def infer(
         self,
         image: np.ndarray,
@@ -385,13 +605,18 @@ class TileEngine:
         quarter the conv FLOPs of the default x2)."""
         h, w = int(image.shape[0]), int(image.shape[1])
         eff_up = self.upscale_factor if upscale is None else upscale
-        key = (h, w, eff_up)
+        serving = self._resolve_serving()
+        key = (h, w, eff_up, serving)
         if key not in self._compiled:
             log.info(
-                "Compiling tile pipeline for %dx%d image (upscale %.2g)",
-                h, w, eff_up,
+                "Compiling tile pipeline for %dx%d image (upscale %.2g, %s)",
+                h, w, eff_up, serving,
             )
-            self._compiled[key] = self._build(h, w, eff_up)
+            self._compiled[key] = (
+                self._build_split(h, w, eff_up)
+                if serving == "split"
+                else self._build(h, w, eff_up)
+            )
         # keep the native dtype for the host->device transfer (uint8 images
         # move 4x less data than f32; the program casts on device)
         image = jnp.asarray(image)

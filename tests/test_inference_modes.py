@@ -243,3 +243,48 @@ def test_downscaled_full_pass_recovers_objects_larger_than_a_tile(tiny_r50):
 
     best = max(iou(b, true) for b in boxes)
     assert best > 0.6, f"large object not recovered (best IoU {best:.2f})"
+
+
+def test_split_serving_matches_fused(tiny_r50):
+    """The multi-program split schedule (conv-pure features program +
+    separate heads program) must produce the same instances as the fused
+    single-program path — identical math, different program boundaries."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+    model, params = tiny_r50
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(7)
+    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+
+    def run(serving):
+        eng = TileEngine(
+            model, params, tile_size=128, overlap_ratio=0.2,
+            upscale_factor=1.0, capacity=64, full_pass_max_dim=512,
+            tile_batch=2, serving=serving,
+        )
+        inst, quality = eng.infer(img, settings)
+        return inst, quality
+
+    inst_f, q_f = run("fused")
+    inst_s, q_s = run("split")
+    assert q_f == q_s
+    vf, vs = np.asarray(inst_f.valid), np.asarray(inst_s.valid)
+    np.testing.assert_array_equal(vf, vs)
+    np.testing.assert_allclose(
+        np.asarray(inst_f.boxes)[vf], np.asarray(inst_s.boxes)[vs],
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inst_f.scores)[vf], np.asarray(inst_s.scores)[vs],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(inst_f.classes)[vf], np.asarray(inst_s.classes)[vs]
+    )
