@@ -24,7 +24,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-from tests.test_weights import _t, _torch_fpn, _torch_trunk
+from tests.test_weights import _t, _torch_fpn
 
 PIXEL_MEAN_BGR = (103.53, 116.28, 123.675)
 STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
@@ -49,6 +49,39 @@ def _bn_any(sd, prefix, x):
     w = _t(sd[f"{prefix}.weight"]).view(1, -1, 1, 1)
     b = _t(sd[f"{prefix}.bias"]).view(1, -1, 1, 1)
     return x * w + b
+
+
+def _torch_trunk_any(sd, x, depth):
+    """Detectron2 trunk semantics (stem 7x7/2 + BN + relu + maxpool,
+    bottlenecks with STRIDE_IN_1X1) tolerating affine-only norms — exported
+    checkpoints carry folded scale/bias without running stats."""
+    from deepemia_tpu.models.resnet import STAGE_BLOCKS
+
+    bu = "backbone.bottom_up"
+    x = F.conv2d(x, _t(sd[f"{bu}.stem.conv1.weight"]), stride=2, padding=3)
+    x = F.relu(_bn_any(sd, f"{bu}.stem.conv1.norm", x))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    feats = {}
+    for si, nb in enumerate(STAGE_BLOCKS[depth]):
+        s = si + 2
+        stage_stride = 1 if si == 0 else 2
+        for b in range(nb):
+            base = f"{bu}.res{s}.{b}"
+            stride = stage_stride if b == 0 else 1
+            if f"{base}.shortcut.weight" in sd:
+                sc = F.conv2d(x, _t(sd[f"{base}.shortcut.weight"]), stride=stride)
+                sc = _bn_any(sd, f"{base}.shortcut.norm", sc)
+            else:
+                sc = x
+            y = F.conv2d(x, _t(sd[f"{base}.conv1.weight"]), stride=stride)
+            y = F.relu(_bn_any(sd, f"{base}.conv1.norm", y))
+            y = F.conv2d(y, _t(sd[f"{base}.conv2.weight"]), padding=1)
+            y = F.relu(_bn_any(sd, f"{base}.conv2.norm", y))
+            y = F.conv2d(y, _t(sd[f"{base}.conv3.weight"]))
+            y = _bn_any(sd, f"{base}.conv3.norm", y)
+            x = F.relu(y + sc)
+        feats[f"res{s}"] = x
+    return feats
 
 
 def _anchors(level: str, fh: int, fw: int) -> np.ndarray:
@@ -229,7 +262,7 @@ def torch_predict(
     x = np.transpose(x, (2, 0, 1))[None]
 
     with torch.no_grad():
-        trunk = _torch_trunk(sd, _t(x), depth)
+        trunk = _torch_trunk_any(sd, _t(x), depth)
         fpn = _torch_fpn(sd, trunk)
         rh = "proposal_generator.rpn_head"
         logits, deltas = {}, {}

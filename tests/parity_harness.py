@@ -73,6 +73,22 @@ def make_blob_records(img_dir, n_images, size=128, seed=0) -> List[dict]:
     return records
 
 
+def ensure_blob_detector(records, out_dir, steps=300, size=128):
+    """Load the trained blob detector if its final checkpoint exists (e.g.
+    trained on a TPU in a previous stage), else train it here."""
+    import os as _os
+
+    from deepemia_tpu.data.models import load_model
+    from deepemia_tpu.models.weights import export_detectron2_state_dict
+
+    final = _os.path.join(out_dir, "model_final_r50.orbax")
+    if _os.path.isdir(final):
+        model, params = load_model(final, num_classes=2, use_bf16=False)
+        sd = export_detectron2_state_dict(params, 50)
+        return model, params, sd, {}
+    return train_blob_detector(records, out_dir, steps=steps, size=size)
+
+
 def train_blob_detector(records, out_dir, steps=300, size=128):
     """Train R50 (f32) until it detects blobs; returns (model, params, sd)."""
     from deepemia_tpu.data.models import load_model
@@ -81,7 +97,7 @@ def train_blob_detector(records, out_dir, steps=300, size=128):
 
     cfg = TrainConfig(
         backbone="R50",
-        base_lr=0.00025,
+        base_lr=0.001,
         ims_per_batch=2,
         train_size=size,
         max_instances=8,
@@ -176,14 +192,15 @@ def match_detections(
         inter = float(np.logical_and(ma, mb).sum())
         union = float(np.logical_or(ma, mb).sum())
         mask_ious.append(inter / union if union else 1.0)
-    denom = max(len(a["boxes"]), len(b["boxes"]), 1)
+    denom = max(len(a["boxes"]), len(b["boxes"]))
     good_scores = sum(1 for s in score_diffs if s <= score_tol)
     good_masks = sum(1 for m in mask_ious if m >= mask_iou_thr)
     return {
         "n_a": len(a["boxes"]),
         "n_b": len(b["boxes"]),
         "n_match": n_match,
-        "match_rate": n_match / denom,
+        # both sides empty = perfect agreement
+        "match_rate": n_match / denom if denom else 1.0,
         "score_ok_rate": good_scores / max(n_match, 1),
         "mask_ok_rate": good_masks / max(n_match, 1),
         "mean_score_diff": float(np.mean(score_diffs)) if score_diffs else 0.0,
@@ -204,7 +221,7 @@ def run_parity(work_dir, train_steps=300, n_test=10, score_threshold=0.05):
     test_recs = make_blob_records(
         os.path.join(work_dir, "test_imgs"), n_test, seed=100
     )
-    model, params, sd, train_metrics = train_blob_detector(
+    model, params, sd, train_metrics = ensure_blob_detector(
         train_recs, os.path.join(work_dir, "model"), steps=train_steps
     )
 

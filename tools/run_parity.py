@@ -17,10 +17,27 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--steps", type=int, default=3000)
+_ap.add_argument("--n-test", type=int, default=10)
+_ap.add_argument("--work", default=None)
+_ap.add_argument("--out", default="PARITY.md")
+_ap.add_argument(
+    "--train-only",
+    action="store_true",
+    help=(
+        "Only train the blob detector (run WITHOUT forcing the CPU backend "
+        "so the TPU does the training), then exit; a later run with the "
+        "same --work dir loads the checkpoint and compares on CPU"
+    ),
+)
+args = _ap.parse_args()
+
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not args.train_only:
+    # comparisons need f32 CPU numerics on both sides
+    jax.config.update("jax_platforms", "cpu")
 cache = os.path.expanduser("~/.cache/deepemia_tpu_test_xla")
 os.makedirs(cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", cache)
@@ -30,19 +47,22 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--n-test", type=int, default=10)
-    ap.add_argument("--work", default=None)
-    ap.add_argument("--out", default="PARITY.md")
-    args = ap.parse_args()
-
     os.environ.setdefault(
         "DEEPEMIA_TPU_HOME", os.path.join(tempfile.mkdtemp(), "home")
     )
+    work = args.work or tempfile.mkdtemp(prefix="parity_")
+    if args.train_only:
+        from tests.parity_harness import make_blob_records, train_blob_detector
+
+        recs = make_blob_records(os.path.join(work, "train_imgs"), 16, seed=0)
+        _, _, _, metrics = train_blob_detector(
+            recs, os.path.join(work, "model"), steps=args.steps
+        )
+        print(json.dumps({"trained": args.steps, "metrics": metrics,
+                          "work": work}))
+        return
     from tests.parity_harness import run_parity
 
-    work = args.work or tempfile.mkdtemp(prefix="parity_")
     report = run_parity(work, train_steps=args.steps, n_test=args.n_test)
 
     m = report["matches"]
