@@ -300,6 +300,41 @@ class TrainConfig:
     # global-norm gradient clipping; essential for from-scratch training
     # (FrozenBN has no stabilizing normalization)
     grad_clip_norm: Optional[float] = None
+    # zero-init every residual branch's last norm scale when training from
+    # RANDOM init ("bag of tricks" zero-gamma): the trunk starts as a near
+    # identity, activations stay O(1) instead of compounding through 16
+    # unnormalized residual adds (FrozenBN never re-centers), and the RPN
+    # regression actually converges. Ignored when fine-tuning.
+    zero_init_residual: bool = True
+
+
+def zero_residual_norms(params, stem_scale: float = 1.0 / 120.0):
+    """From-scratch initialization conditioning (no effect on fine-tuning):
+
+    * zero the scale of each bottleneck's LAST norm (norm3) so every
+      residual block starts as identity (the standard zero-gamma trick);
+    * scale the stem norm by ~1/std(pixels): the Detectron2 input
+      convention is PIXEL_STD=1 (Caffe backbones expect raw ±120 inputs),
+      so a randomly-initialized stem emits features of scale ~100 and
+      nothing downstream ever re-normalizes them (FrozenBN is a fixed
+      affine). At that scale the pure-L1 RPN regression limit-cycles
+      (gradient magnitude is constant, step size ∝ lr·‖x‖²) and never
+      converges; ~unit features restore normal training dynamics.
+    """
+
+    def visit(path, leaf):
+        keys = [str(getattr(k, "key", "")) for k in path]
+        if (
+            any(k.startswith("res") and "_block" in k for k in keys)
+            and "norm3" in keys
+            and "scale" in keys
+        ):
+            return jnp.zeros_like(leaf)
+        if "stem_norm" in keys and "scale" in keys:
+            return leaf * stem_scale
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
 
 
 def auto_max_iter(num_images: int) -> int:
@@ -355,13 +390,20 @@ def train(
         _, params = load_model(init_checkpoint, num_classes, cfg.use_bf16)
     else:
         params = init_params(model, (cfg.train_size, cfg.train_size), cfg.seed)
+        if cfg.zero_init_residual:
+            params = zero_residual_norms(params)
 
+    # Freezing (FREEZE_AT=2 + FrozenBN affines) exists to protect
+    # PRETRAINED early layers (Detectron2 fine-tune semantics). Training
+    # from random init has nothing to protect — freezing would even pin the
+    # zero-init residual gammas at zero permanently — so everything trains.
+    freeze_mask_params = params if init_checkpoint else None
     tx = make_optimizer(
         cfg.base_lr,
         max_iter,
         cfg.warmup_iters,
         cfg.gamma,
-        params=params,
+        params=freeze_mask_params,
         grad_clip_norm=cfg.grad_clip_norm,
     )
     state = TrainState.create(params, tx)

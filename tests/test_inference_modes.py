@@ -147,7 +147,7 @@ def test_ensemble_secondary_class_filter():
         def __init__(self, classes):
             self._classes = classes
 
-        def infer(self, image, settings):
+        def infer(self, image, settings, upscale=None):
             inst = empty_instances(8)
             n = len(self._classes)
             inst = inst._replace(
