@@ -114,10 +114,14 @@ def paste_masks(
 
     mask_probs [N,R,R] in [0,1], boxes [N,4] XYXY -> [N,height,width] bool.
 
-    Matches Detectron2 ``paste_masks_in_image`` semantics: the R×R grid spans
-    the box; each image pixel center is bilinearly sampled from the grid
-    (align_corners=False convention), then thresholded. Fully vectorized: one
-    gather + lerp over the [N,H,W] lattice, no per-instance Python.
+    Matches Detectron2 ``paste_masks_in_image`` semantics exactly: the R×R
+    grid spans the box; each image pixel center is bilinearly sampled from
+    the grid with ``grid_sample(align_corners=False, padding_mode='zeros')``
+    conventions — samples beyond the grid's half-pixel border fade to zero
+    rather than clamping to the edge texel — then thresholded. Fully
+    vectorized: one gather + lerp over the [N,H,W] lattice, no per-instance
+    Python. (Verified detection-for-detection against a torch oracle of the
+    D2 paste in tests/test_parity_oracle.py.)
     """
     n, r, _ = mask_probs.shape
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5  # pixel centers
@@ -134,31 +138,35 @@ def paste_masks(
     def sample_axis(g, size):
         i0 = jnp.floor(g).astype(jnp.int32)
         frac = g - i0
+        # zero-padding: out-of-grid texels contribute 0 (per-texel validity
+        # rather than index clamping)
+        v0 = (i0 >= 0) & (i0 <= size - 1)
+        v1 = (i0 + 1 >= 0) & (i0 + 1 <= size - 1)
         i0c = jnp.clip(i0, 0, size - 1)
         i1c = jnp.clip(i0 + 1, 0, size - 1)
-        return i0c, i1c, frac
+        return i0c, i1c, frac, v0, v1
 
-    yx0, yx1, fy = sample_axis(gy, r)  # [N,H]
-    xx0, xx1, fx = sample_axis(gx, r)  # [N,W]
+    yx0, yx1, fy, vy0, vy1 = sample_axis(gy, r)  # [N,H]
+    xx0, xx1, fx, vx0, vx1 = sample_axis(gx, r)  # [N,W]
 
     def gather_rows(probs, rows):  # probs [R,R], rows [H] -> [H,R]
         return probs[rows]
 
-    def per_instance(probs, yx0i, yx1i, fyi, xx0i, xx1i, fxi):
-        top = gather_rows(probs, yx0i)  # [H,R]
-        bot = gather_rows(probs, yx1i)
+    def per_instance(probs, yx0i, yx1i, fyi, vy0i, vy1i, xx0i, xx1i, fxi,
+                     vx0i, vx1i):
+        top = gather_rows(probs, yx0i) * vy0i[:, None]  # [H,R]
+        bot = gather_rows(probs, yx1i) * vy1i[:, None]
         rowmix = top * (1 - fyi[:, None]) + bot * fyi[:, None]  # [H,R]
-        left = rowmix[:, xx0i]  # [H,W]
-        right = rowmix[:, xx1i]
+        left = rowmix[:, xx0i] * vx0i[None, :]  # [H,W]
+        right = rowmix[:, xx1i] * vx1i[None, :]
         return left * (1 - fxi[None, :]) + right * fxi[None, :]
 
-    vals = jax.vmap(per_instance)(mask_probs, yx0, yx1, fy, xx0, xx1, fx)
-
-    # zero outside the box (bilinear clamp would otherwise smear edge values)
-    in_x = (xs[None, :] >= x0[:, None]) & (xs[None, :] <= x1[:, None])  # [N,W]
-    in_y = (ys[None, :] >= y0[:, None]) & (ys[None, :] <= y1[:, None])  # [N,H]
-    inside = in_y[:, :, None] & in_x[:, None, :]
-    return (vals >= threshold) & inside
+    vals = jax.vmap(per_instance)(
+        mask_probs, yx0, yx1, fy, vy0.astype(mask_probs.dtype),
+        vy1.astype(mask_probs.dtype), xx0, xx1, fx,
+        vx0.astype(mask_probs.dtype), vx1.astype(mask_probs.dtype),
+    )
+    return vals >= threshold
 
 
 # ---------------------------------------------------------------------------

@@ -222,23 +222,31 @@ def _paste_mask(prob28, box, h, w, thresh=0.5):
     R = prob28.shape[0]
     xs = (np.arange(ix0, ix1) + 0.5 - x0) / (x1 - x0) * R - 0.5
     ys = (np.arange(iy0, iy1) + 0.5 - y0) / (y1 - y0) * R - 0.5
-    fx0 = np.clip(np.floor(xs).astype(int), 0, R - 1)
-    fx1 = np.clip(fx0 + 1, 0, R - 1)
-    fy0 = np.clip(np.floor(ys).astype(int), 0, R - 1)
-    fy1 = np.clip(fy0 + 1, 0, R - 1)
-    tx = np.clip(xs - np.floor(xs), 0, 1)
-    ty = np.clip(ys - np.floor(ys), 0, 1)
-    p00 = prob28[np.ix_(fy0, fx0)]
-    p01 = prob28[np.ix_(fy0, fx1)]
-    p10 = prob28[np.ix_(fy1, fx0)]
-    p11 = prob28[np.ix_(fy1, fx1)]
+    # grid_sample(align_corners=False, padding_mode='zeros'): out-of-grid
+    # texels contribute zero (not edge clamp)
+    gx0 = np.floor(xs).astype(int)
+    gy0 = np.floor(ys).astype(int)
+    vx0 = (gx0 >= 0) & (gx0 <= R - 1)
+    vx1 = (gx0 + 1 >= 0) & (gx0 + 1 <= R - 1)
+    vy0 = (gy0 >= 0) & (gy0 <= R - 1)
+    vy1 = (gy0 + 1 >= 0) & (gy0 + 1 <= R - 1)
+    fx0 = np.clip(gx0, 0, R - 1)
+    fx1 = np.clip(gx0 + 1, 0, R - 1)
+    fy0 = np.clip(gy0, 0, R - 1)
+    fy1 = np.clip(gy0 + 1, 0, R - 1)
+    tx = xs - gx0
+    ty = ys - gy0
+    p00 = prob28[np.ix_(fy0, fx0)] * (vy0[:, None] & vx0[None, :])
+    p01 = prob28[np.ix_(fy0, fx1)] * (vy0[:, None] & vx1[None, :])
+    p10 = prob28[np.ix_(fy1, fx0)] * (vy1[:, None] & vx0[None, :])
+    p11 = prob28[np.ix_(fy1, fx1)] * (vy1[:, None] & vx1[None, :])
     interp = (
         p00 * (1 - ty)[:, None] * (1 - tx)[None, :]
         + p01 * (1 - ty)[:, None] * tx[None, :]
         + p10 * ty[:, None] * (1 - tx)[None, :]
         + p11 * ty[:, None] * tx[None, :]
     )
-    out[iy0:iy1, ix0:ix1] = interp > thresh
+    out[iy0:iy1, ix0:ix1] = interp >= thresh
     return out
 
 
