@@ -20,7 +20,7 @@ TARGET_TILES_PER_SEC = 20.0
 TILE = 1024
 WARMUP = 3
 ITERS = 20
-BATCH = 8
+BATCH = 16
 
 
 def _sync(x) -> None:

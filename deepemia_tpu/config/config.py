@@ -146,7 +146,7 @@ def default_config(home: Optional[Path] = None) -> Dict[str, Any]:
                 "upscale_factor": 2.0,
                 "edge_filter_enabled": True,
                 "classes_using_tiling": [0, 1],
-                "tile_batch_size": 8,
+                "tile_batch_size": 16,
             },
             "spatial_constraints": {"default": {"enabled": False}},
         },

@@ -132,7 +132,7 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     "upscale_factor": Field(types=Number, default=2.0),
                     "edge_filter_enabled": Field(types=bool, default=True),
                     "classes_using_tiling": Field(types=list, default=[0, 1]),
-                    "tile_batch_size": Field(types=int, default=8),
+                    "tile_batch_size": Field(types=int, default=16),
                     # run tiles at NATIVE resolution when the size heuristic
                     # finds no small classes (upscale only helps small
                     # objects; skipping it quarters tile conv FLOPs)

@@ -131,7 +131,7 @@ class TileEngine:
         mesh=None,
         full_pass_max_dim: int = 2048,
         confidence_mode: str = "auto",
-        tile_batch: int = 8,
+        tile_batch: int = 16,
         serving: str = "auto",
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid

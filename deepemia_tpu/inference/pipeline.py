@@ -146,7 +146,7 @@ class InferencePipeline:
             mask_threshold=self.mask_threshold,
             confidence_mode=str(self.inf.get("confidence_mode", "auto")),
             mesh=self._choose_inference_mesh(perf),
-            tile_batch=int(ts.get("tile_batch_size", 8)),
+            tile_batch=int(ts.get("tile_batch_size", 16)),
             full_pass_max_dim=int(ts.get("full_pass_max_dim", 2048)),
             dedup_stride=int(ts.get("dedup_stride", 8)),
         )

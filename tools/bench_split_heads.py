@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TILE = 1024
-BATCH = 8
+BATCH = int(__import__("os").environ.get("SPLIT_BATCH", "8"))
 ITERS = 12
 
 
