@@ -145,6 +145,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     # padded instance capacity per image (0 = built-in
                     # StaticShapes.MAX_INSTANCES_PER_IMAGE)
                     "instance_capacity": Field(types=int, default=0),
+                    # 'auto' = split two-program schedule on single-chip
+                    # TPU (Pallas RoIAlign heads), fused elsewhere
+                    "serving": Field(types=str, default="auto"),
                 }
             ),
             # [S,S] crop size for exact host measurements; objects larger

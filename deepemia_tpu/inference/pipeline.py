@@ -149,6 +149,7 @@ class InferencePipeline:
             tile_batch=int(ts.get("tile_batch_size", 16)),
             full_pass_max_dim=int(ts.get("full_pass_max_dim", 2048)),
             dedup_stride=int(ts.get("dedup_stride", 8)),
+            serving=str(ts.get("serving", "auto")),
         )
         cap = int(ts.get("instance_capacity", 0) or 0)
         if cap > 0:
