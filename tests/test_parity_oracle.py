@@ -10,6 +10,7 @@ import pytest
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_full_detector_parity(tmp_path):
     from tests.parity_harness import run_parity
 

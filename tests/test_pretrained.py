@@ -225,6 +225,7 @@ def test_overlay_reports_missing_target_path():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_finetune_starts_below_random_init(tmp_path):
     """A/B smoke (VERDICT r2 next #1 'Done' criterion): one step from
     pretrained weights yields a much lower loss than one step from random
