@@ -395,8 +395,6 @@ class TileEngine:
     def _resolve_serving(self) -> str:
         if self.serving != "auto":
             return self.serving
-        if self.mesh is not None:
-            return "fused"  # shard_map tile mesh stays on the fused path
         return "split" if jax.default_backend() == "tpu" else "fused"
 
     def tile_forward_programs(self, ts: int, ts_up: int):
@@ -480,6 +478,12 @@ class TileEngine:
         space-to-batch conv rewrite; P2 then takes the Pallas RoIAlign win
         (97.1 vs 78.8 tiles/s measured on v5e, tools/bench_split_heads.py).
         All arrays stay on device between programs.
+
+        With a ('tile',) mesh, each outer iteration processes
+        ``mesh.size * tile_batch`` tiles: P1 and P2 are shard_mapped over
+        the mesh (every device runs its own chunk; no cross-device comm
+        until the merge program), so the split-serving win carries to
+        multi-chip pods.
         """
         ts = self.tile_size
         up_f = self.upscale_factor if up is None else up
@@ -496,9 +500,11 @@ class TileEngine:
 
         tiling = self.use_tiling and grid.num_tiles > 1
         scale = ts_up / ts
-        chunk = min(self.tile_batch, max(grid.num_tiles, 1))
-        pad_t = (-grid.num_tiles) % chunk if tiling else 0
-        n_chunks = (grid.num_tiles + pad_t) // chunk if tiling else 0
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        chunk = min(self.tile_batch, max(-(-grid.num_tiles // n_dev), 1))
+        group = chunk * n_dev  # tiles per outer iteration
+        pad_t = (-grid.num_tiles) % group if tiling else 0
+        n_chunks = (grid.num_tiles + pad_t) // group if tiling else 0
 
         def p0(params, image):
             quality = image_quality_score(image)
@@ -524,7 +530,7 @@ class TileEngine:
                     tiles = jnp.pad(
                         tiles, ((0, pad_t), (0, 0), (0, 0), (0, 0))
                     )
-                tiles = tiles.reshape(n_chunks, chunk, ts, ts, tiles.shape[-1])
+                tiles = tiles.reshape(n_chunks, group, ts, ts, tiles.shape[-1])
             else:
                 tiles = jnp.zeros((0,))
             return full_inst, quality, qscale, tiles
@@ -537,6 +543,27 @@ class TileEngine:
         def p2(params, feats, logits, regs, offs_c, ok_c):
             inst_b = heads_fn(params, feats, logits, regs)
             return self._finish_batch(inst_b, offs_c, ok_c, ts, scale, h, w)
+
+        if self.mesh is not None:
+            # shard the group's tile axis: each device runs its own chunk of
+            # the conv program and heads program independently
+            from jax.sharding import PartitionSpec as P
+
+            p1 = jax.shard_map(
+                p1,
+                mesh=self.mesh,
+                in_specs=(P(), P("tile")),
+                out_specs=(P("tile"), P("tile"), P("tile")),
+                check_vma=False,
+            )
+            p2 = jax.shard_map(
+                p2,
+                mesh=self.mesh,
+                in_specs=(P(), P("tile"), P("tile"), P("tile"), P("tile"),
+                          P("tile")),
+                out_specs=P("tile"),
+                check_vma=False,
+            )
 
         def p3(parts, settings, qscale):
             merged = concat_instances(list(parts), self.capacity)
@@ -562,8 +589,8 @@ class TileEngine:
             if pad_t:
                 offs = np.pad(offs, ((0, pad_t), (0, 0)))
                 ok = np.pad(ok, (0, pad_t))
-            offs_c = offs.reshape(n_chunks, chunk, 2)
-            ok_c = ok.reshape(n_chunks, chunk)
+            offs_c = offs.reshape(n_chunks, group, 2)
+            ok_c = ok.reshape(n_chunks, group)
 
         def program(params, image, settings):
             full_inst, quality, qscale, tiles = p0_j(params, image)

@@ -116,3 +116,47 @@ def test_sharded_train_step_matches_single_device(tiny_r50):
         assert losses["single"][k] == pytest.approx(
             losses["sharded"][k], rel=1e-4
         ), f"{k}: {losses['single'][k]} vs {losses['sharded'][k]}"
+
+
+def test_split_serving_sharded_matches_single_device(tiny_r50):
+    """The SHARDED split schedule (P1/P2 shard_mapped over a ('tile',)
+    mesh) must yield the same detection set as the unsharded single-device
+    engine — the multi-chip carry of the split-serving path."""
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+    assert len(jax.devices()) >= 8
+    model, params = tiny_r50
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(4)
+    img = (rng.random((200, 300, 3)) * 255).astype(np.float32)
+
+    kw = dict(tile_size=128, overlap_ratio=0.2, upscale_factor=1.0,
+              capacity=64, tile_batch=2)
+    single = TileEngine(model, params, serving="split", **kw)
+    sharded = TileEngine(
+        model, params, mesh=tile_mesh(), serving="split", **kw
+    )
+
+    inst_s, q_s = single.infer(img, settings)
+    inst_m, q_m = sharded.infer(img, settings)
+    assert q_s == pytest.approx(q_m)
+    vs = np.asarray(inst_s.valid)
+    vm = np.asarray(inst_m.valid)
+    assert vs.sum() == vm.sum()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_s.scores)[vs]),
+        np.sort(np.asarray(inst_m.scores)[vm]),
+        atol=1e-4,
+    )
+    # conv reduction order differs per shard batch; the jitter amplifies
+    # through exp() in the box-delta decode to a few tenths of a pixel on
+    # 100+px boxes — the detection SET (count + scores above) is identical
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_s.boxes)[vs], axis=0),
+        np.sort(np.asarray(inst_m.boxes)[vm], axis=0),
+        atol=0.5,
+    )
