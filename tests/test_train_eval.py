@@ -276,3 +276,82 @@ def test_hpo_random_strategy_unchanged(tmp_home, monkeypatch, tmp_path):
         config=get_config(), max_steps_override=100, strategy="random",
     )
     assert calls == [(100, False)] * 3
+
+
+def test_zero_residual_norms_transform():
+    """From-scratch conditioning: every bottleneck norm3 scale zeroed, the
+    stem norm rescaled ~1/120, everything else untouched."""
+    import jax.numpy as jnp
+
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+    from deepemia_tpu.train.trainer import zero_residual_norms
+
+    model = build_model("R50", num_classes=2, use_bf16=False)
+    params = init_params(model, (64, 64), seed=0)
+    out = zero_residual_norms(params)
+    bb = out["params"]["backbone"]
+    assert float(jnp.abs(bb["res2_block0"]["norm3"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(bb["res5_block2"]["norm3"]["scale"]).max()) == 0.0
+    # norm1/norm2 untouched
+    orig = params["params"]["backbone"]
+    np.testing.assert_array_equal(
+        np.asarray(bb["res2_block0"]["norm1"]["scale"]),
+        np.asarray(orig["res2_block0"]["norm1"]["scale"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(bb["stem_norm"]["scale"]),
+        np.asarray(orig["stem_norm"]["scale"]) / 120.0,
+        rtol=1e-6,
+    )
+    # heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["rpn_head"]["conv"]["kernel"]),
+        np.asarray(params["params"]["rpn_head"]["conv"]["kernel"]),
+    )
+
+
+def test_optimizer_freeze_only_with_pretrained(monkeypatch, tmp_path):
+    """train() freezes FREEZE_AT/BN layers only when fine-tuning; from
+    random init everything trains (frozen zero gammas would stay dead)."""
+    import deepemia_tpu.train.trainer as tr
+
+    captured = {}
+    real = tr.make_optimizer
+
+    def spy(*args, **kw):
+        captured["params_mask"] = kw.get("params")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(tr, "make_optimizer", spy)
+
+    # from scratch: abort right after optimizer creation via a stub loader
+    class Boom(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise Boom()
+
+    monkeypatch.setattr(tr, "make_mesh", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        tr.train([{"file_name": "x", "annotations": [1]}], 2,
+                 str(tmp_path / "a"), tr.TrainConfig(use_bf16=False,
+                 train_size=64), max_steps_override=1)
+    assert captured["params_mask"] is None  # nothing frozen
+
+    # fine-tune: freezing mask passed
+    import pickle
+
+    from tests.test_weights import _scaled_d2_sd
+
+    sd = _scaled_d2_sd(50, 2, np.random.default_rng(0))
+    pkl = tmp_path / "zoo.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": sd}, f)
+    with _pytest.raises(Boom):
+        tr.train([{"file_name": "x", "annotations": [1]}], 2,
+                 str(tmp_path / "b"), tr.TrainConfig(use_bf16=False,
+                 train_size=64, init_checkpoint=str(pkl)),
+                 max_steps_override=1)
+    assert captured["params_mask"] is not None  # FREEZE_AT mask active
