@@ -1,8 +1,7 @@
-"""Benchmarks. Default output: the end-to-end 4k tile-pipeline line followed
-by the headline tile-throughput line (the driver records the LAST line).
-
-``--all`` additionally measures the remaining BASELINE.md benchmark configs
-(ensemble throughput, train step), one JSON line each.
+"""Benchmarks: every BASELINE.md config prints as one JSON line per run —
+4k tile pipeline at the configured x2 upscale AND at native resolution
+(the class-conditional path), R50+R101 ensemble, train step, and the
+tile-throughput headline LAST (the driver records the last line).
 
 Baseline (BASELINE.md): the reference runs 5-10 s/image on an NVIDIA L4 —
 under 1 effective 1024² tile/s. Rebuild target: >= 20 tiles/s/chip on v5e.
@@ -244,8 +243,11 @@ def bench_train_step(jax, jnp):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--all", action="store_true", help="run every benchmark config")
-    args = ap.parse_args()
+    ap.add_argument(
+        "--all", action="store_true",
+        help="(kept for compatibility; every config already runs by default)",
+    )
+    args = ap.parse_args()  # noqa: F841
 
     import jax
     import jax.numpy as jnp
