@@ -130,3 +130,27 @@ def test_dataset_config_direct_inference_settings_merge(tmp_home):
     assert ts["tile_batch_size"] == 4
     assert ts["overlap_ratio"] == 0.1  # untouched defaults survive the merge
     assert c["performance"]["inference_chips"] == 2
+
+
+def test_dataset_train_section_merges(tmp_home):
+    """A dataset YAML's train: block (pretrained weights, resize schedule)
+    deep-merges into the effective config like any direct key."""
+    from deepemia_tpu.config import get_config, get_store
+
+    store = get_store()
+    d = store.dataset_config_dir
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "dstrain.yaml").write_text(
+        "train:\n"
+        "  pretrained_weights:\n"
+        "    R50: /zoo/r50.pkl\n"
+        "  resize_mode: range\n"
+        "  grad_clip_norm: 1.0\n"
+    )
+    store.invalidate()
+    cfg = get_config("dstrain")
+    assert cfg["train"]["pretrained_weights"]["R50"] == "/zoo/r50.pkl"
+    assert cfg["train"]["pretrained_weights"]["R101"] == ""  # default kept
+    assert cfg["train"]["resize_mode"] == "range"
+    assert cfg["train"]["train_size"] == 512  # default kept
+    assert cfg["train"]["grad_clip_norm"] == 1.0
