@@ -29,6 +29,9 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Sequence, Set, Tuple
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +46,16 @@ from deepemia_tpu.inference.engine import ClassSettings, TileEngine
 log = logging.getLogger("deepemia_tpu.multiscale")
 
 BASELINE_SCALES = (0.7, 1.0, 1.5, 2.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _resize_cached(image, shape):
+    return jax.image.resize(image.astype(jnp.float32), shape, "linear")
+
+
+def _device_resize(image, nh: int, nw: int):
+    """On-device bilinear resize (compile-cached per target geometry)."""
+    return _resize_cached(image, (nh, nw, int(image.shape[-1])))
 AGGRESSIVE_SCALES = (1.0, 1.5, 2.0, 2.5, 3.0)
 
 
@@ -60,9 +73,15 @@ def run_multiscale_inference(
     Scaled geometries are rounded to /64 so every scale compiles against an
     FPN-legal static shape; box coordinates are mapped back exactly by the
     actual resize ratio.
+
+    A numpy image resizes on the host (cv2); a jax Array resizes ON DEVICE
+    (jax.image.resize) so the image transfers to the device ONCE instead of
+    once per scale — at 4 scales of a 1024² image that is 48 MB of
+    host->device traffic saved per image.
     """
     import cv2
 
+    on_device = isinstance(image, jax.Array)
     h, w = image.shape[:2]
     parts: List[InstanceSet] = []
     quality = 0.0
@@ -70,7 +89,12 @@ def run_multiscale_inference(
         s = min(float(s), max_scale)
         nh = max(64, int(round(h * s / 64)) * 64)
         nw = max(64, int(round(w * s / 64)) * 64)
-        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if on_device:
+            resized = _device_resize(image, nh, nw)
+        else:
+            resized = cv2.resize(
+                image, (nw, nh), interpolation=cv2.INTER_LINEAR
+            )
         inst, quality = engine.infer(resized, settings, upscale=upscale)
         # map boxes back to original coordinates
         sx, sy = w / nw, h / nh

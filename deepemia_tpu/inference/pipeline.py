@@ -308,9 +308,14 @@ class InferencePipeline:
             from deepemia_tpu.inference.multiscale import run_multiscale_inference
 
             _, engine, _ = self.engines[0]
+            import jax
+            import jax.numpy as jnp
+
             inst, quality = run_multiscale_inference(
                 engine,
-                np.asarray(image),  # host resize needs a numpy image
+                # device array: scales resize ON DEVICE, so the image
+                # transfers once instead of once per scale
+                image if isinstance(image, jax.Array) else jnp.asarray(image),
                 settings,
                 scales=self.multiscale_scales,
                 max_scale=self.multiscale_max,
