@@ -320,8 +320,21 @@ def main() -> None:
     )
     args = ap.parse_args()  # noqa: F841
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compiles (first run per machine still pays them)
+    cache = os.environ.get(
+        "DEEPEMIA_TPU_BENCH_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla"),
+    )
+    if cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # end-to-end first; the headline LAST (driver parses the last line).
     # All BASELINE.md configs print by default so every round's BENCH
