@@ -179,6 +179,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             # 0 = off; global-norm gradient clipping (needed for
             # from-scratch training — FrozenBN has no normalization)
             "grad_clip_norm": Field(types=Number, default=0),
+            # producer threads for the training data loader (reference
+            # DATALOADER.NUM_WORKERS); 1 = fully deterministic batch order
+            "loader_workers": Field(types=int, default=2),
         }
     ),
     "performance": _mapping(

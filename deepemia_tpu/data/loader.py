@@ -18,8 +18,7 @@ from typing import Dict, Iterator, List, Optional
 import cv2
 import numpy as np
 
-from deepemia_tpu.data.datasets import rasterize_annotations
-from deepemia_tpu.train.augment import augment_sample, boxes_from_masks
+from deepemia_tpu.train.augment import boxes_from_masks, sample_augment_affine
 
 log = logging.getLogger("deepemia_tpu.loader")
 
@@ -50,16 +49,20 @@ def prepare_sample(
     if img is None:
         log.warning("Unreadable image: %s", record["file_name"])
         return None
-    masks = rasterize_annotations(record)
-    classes = np.array(
-        [o["category_id"] for o in record["annotations"]], np.int32
-    )
+    annos = record["annotations"]
+    classes = np.array([o["category_id"] for o in annos], np.int32)
 
-    if augment and len(masks):
-        img, masks = augment_sample(img, masks, rng)
-
-    # resize (aspect-preserving) + zero-pad to the static square train size
+    # One composed affine (flips -> rotation -> resize scale) applied once to
+    # the image and to the polygon COORDINATES — masks are then rasterized
+    # directly at final resolution (single fillPoly per instance, no
+    # full-res rasterize + per-mask warp + per-mask resize chain, and no
+    # double nearest-neighbor resampling of mask boundaries).
     h, w = img.shape[:2]
+    geo = np.eye(3)
+    brightness = None
+    if augment and annos:
+        geo, brightness = sample_augment_affine(h, w, rng)
+
     if resize_mode == "range":
         lo, hi = int(min_size_range[0]), int(min_size_range[-1])
         chosen = int(rng.integers(lo, hi + 1)) if hi > lo else lo
@@ -68,47 +71,67 @@ def prepare_sample(
         )
     else:
         scale = train_size / max(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
-    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    canvas = np.zeros((train_size, train_size, 3), np.uint8)
-    canvas[:nh, :nw] = img
-    if len(masks):
-        masks = np.stack(
-            [
-                cv2.resize(
-                    m.astype(np.uint8), (nw, nh), interpolation=cv2.INTER_NEAREST
-                )
-                for m in masks
-            ]
-        ).astype(bool)
-        padded_masks = np.zeros((len(masks), train_size, train_size), bool)
-        padded_masks[:, :nh, :nw] = masks
-        masks = padded_masks
+    # match cv2.resize's pixel-center convention: dst = s*src + (s-1)/2
+    off = (scale - 1.0) / 2.0
+    geo = np.array(
+        [[scale, 0, off], [0, scale, off], [0, 0, 1]], np.float64
+    ) @ geo
+
+    canvas = cv2.warpAffine(
+        img, geo[:2], (train_size, train_size), flags=cv2.INTER_LINEAR
+    )
+    if brightness is not None:
+        canvas = cv2.convertScaleAbs(canvas, alpha=brightness)
+
+    if annos:
+        masks = np.zeros((len(annos), train_size, train_size), np.uint8)
+        for i, obj in enumerate(annos):
+            for poly in obj["segmentation"]:
+                pts = np.asarray(poly, np.float64).reshape(-1, 2)
+                pts = pts @ geo[:2, :2].T + geo[:2, 2]
+                cv2.fillPoly(masks[i], [np.round(pts).astype(np.int32)], 1)
+        masks = masks.astype(bool)
         boxes = boxes_from_masks(masks)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         masks, boxes, classes = masks[keep], boxes[keep], classes[keep]
     else:
+        masks = np.zeros((0, train_size, train_size), bool)
         boxes = np.zeros((0, 4), np.float32)
 
     g = max_instances
     n = min(len(boxes), g)
+    # Transfer-packed formats: image stays uint8 (4x fewer bytes than f32;
+    # the model's normalize() casts on device) and masks are bit-packed
+    # along W (8x; trainer.unpack_mask_bits restores them on device). The
+    # padded [G,H,W] bool tensor dominated the step time measured over the
+    # axon tunnel: 33.5 MB/step at B=2/G=64/512^2 was ~45 ms of host->device
+    # transfer against a 2.9 ms device step (tools/profile_train_step.py).
+    assert train_size % 8 == 0, "train_size must be a multiple of 8"
     out = {
-        "image": canvas.astype(np.float32),
+        "image": canvas,
         "gt_boxes": np.zeros((g, 4), np.float32),
         "gt_classes": np.zeros((g,), np.int32),
         "gt_valid": np.zeros((g,), bool),
-        "gt_masks": np.zeros((g, train_size, train_size), bool),
+        "gt_masks": np.zeros((g, train_size, train_size // 8), np.uint8),
     }
     if n:
         out["gt_boxes"][:n] = boxes[:n]
         out["gt_classes"][:n] = classes[:n]
         out["gt_valid"][:n] = True
-        out["gt_masks"][:n] = masks[:n]
+        out["gt_masks"][:n] = np.packbits(masks[:n], axis=-1)
     return out
 
 
 class TrainLoader:
-    """Infinite shuffled batch iterator with background prefetch."""
+    """Infinite shuffled batch iterator with background prefetch.
+
+    ``workers`` producer threads (reference DATALOADER.NUM_WORKERS
+    equivalent) each draw from their own seeded permutation stream and
+    assemble whole batches; with one worker the batch sequence is fully
+    deterministic for a given seed, with several the sample distribution is
+    identical but batch *order* interleaves by thread timing (cv2/numpy
+    release the GIL for the heavy ops, so threads scale on real cores).
+    """
 
     def __init__(
         self,
@@ -118,11 +141,12 @@ class TrainLoader:
         max_instances: int = 64,
         augment: bool = False,
         seed: int = 0,
-        prefetch: int = 2,
+        prefetch: int = 4,
         filter_empty: bool = True,
         resize_mode: str = "fixed",
         min_size_range=(640, 800),
         max_size: int = 1333,
+        workers: int = 2,
     ):
         if filter_empty:  # reference DATALOADER.FILTER_EMPTY_ANNOTATIONS=True
             records = [r for r in records if r.get("annotations")]
@@ -136,16 +160,23 @@ class TrainLoader:
         self.resize_mode = resize_mode
         self.min_size_range = min_size_range
         self.max_size = max_size
-        self.rng = np.random.default_rng(seed)
-        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, workers))
         self._error: Exception | None = None
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(
+                target=self._producer,
+                args=(np.random.default_rng(seed + 1000003 * wid),),
+                daemon=True,
+            )
+            for wid in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
-    def _producer(self):
+    def _producer(self, rng: np.random.Generator):
         try:
-            self._produce_loop()
+            self._produce_loop(rng)
         except BaseException as e:  # noqa: BLE001 - surface via the queue
             log.error("Train loader producer failed: %s", e, exc_info=True)
             self._error = e
@@ -154,21 +185,21 @@ class TrainLoader:
             except queue.Full:
                 pass
 
-    def _produce_loop(self):
-        order = self.rng.permutation(len(self.records))
+    def _produce_loop(self, rng: np.random.Generator):
+        order = rng.permutation(len(self.records))
         pos = 0
         while not self._stop.is_set():
             samples = []
             consecutive_failures = 0
             while len(samples) < self.batch_size:
                 if pos >= len(order):
-                    order = self.rng.permutation(len(self.records))
+                    order = rng.permutation(len(self.records))
                     pos = 0
                 rec = self.records[order[pos]]
                 pos += 1
                 s = prepare_sample(
                     rec, self.train_size, self.max_instances, self.augment,
-                    self.rng, self.resize_mode, self.min_size_range,
+                    rng, self.resize_mode, self.min_size_range,
                     self.max_size,
                 )
                 if s is not None:

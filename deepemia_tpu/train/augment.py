@@ -51,11 +51,54 @@ def augment_sample(
     return image, masks
 
 
+def sample_augment_affine(
+    h: int,
+    w: int,
+    rng: np.random.Generator,
+    rotation_deg: float = 20.0,
+    brightness_range: Tuple[float, float] = (0.8, 1.2),
+) -> Tuple[np.ndarray, float]:
+    """Sample the reference augmentation set as a single 3x3 affine on
+    (x, y, 1) pixel coordinates plus a brightness factor.
+
+    Same draw order and distributions as ``augment_sample`` (H-flip p=0.5,
+    V-flip p=0.5, rotation +-20 deg, brightness 0.8-1.2), but expressed in
+    coordinate space so the loader can compose it with the resize scale and
+    apply ONE warp to the image and ONE fillPoly per mask at the final
+    resolution — the per-mask full-frame warp+resize chain was ~23 ms/image
+    of the measured 54 ms host prep (tools/profile_train_step.py follow-up).
+    """
+    m = np.eye(3)
+    if rng.random() < 0.5:  # horizontal flip: x' = (w-1) - x
+        m = np.array([[-1, 0, w - 1], [0, 1, 0], [0, 0, 1]], np.float64) @ m
+    if rng.random() < 0.5:  # vertical flip
+        m = np.array([[1, 0, 0], [0, -1, h - 1], [0, 0, 1]], np.float64) @ m
+    angle = float(rng.uniform(-rotation_deg, rotation_deg))
+    rot = np.eye(3)
+    rot[:2] = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
+    m = rot @ m
+    factor = float(rng.uniform(*brightness_range))
+    return m, factor
+
+
 def boxes_from_masks(masks: np.ndarray) -> np.ndarray:
-    """[N,H,W] -> [N,4] XYXY (empty mask -> zeros)."""
-    out = np.zeros((len(masks), 4), np.float32)
-    for i, mk in enumerate(masks):
-        ys, xs = np.nonzero(mk)
-        if ys.size:
-            out[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    """[N,H,W] -> [N,4] XYXY (empty mask -> zeros), vectorized: any-reduce
+    each axis then argmax from both ends (np.nonzero per mask was ~7 ms for
+    6 full-res masks)."""
+    masks = np.asarray(masks)
+    n, h, w = masks.shape
+    out = np.zeros((n, 4), np.float32)
+    if not n:
+        return out
+    rows = masks.any(axis=2)  # [N,H]
+    cols = masks.any(axis=1)  # [N,W]
+    nonempty = rows.any(axis=1)
+    y0 = rows.argmax(axis=1)
+    y1 = h - rows[:, ::-1].argmax(axis=1)
+    x0 = cols.argmax(axis=1)
+    x1 = w - cols[:, ::-1].argmax(axis=1)
+    out[:, 0] = np.where(nonempty, x0, 0)
+    out[:, 1] = np.where(nonempty, y0, 0)
+    out[:, 2] = np.where(nonempty, x1, 0)
+    out[:, 3] = np.where(nonempty, y1, 0)
     return out

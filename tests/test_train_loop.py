@@ -89,3 +89,63 @@ def test_train_checkpoint_resume(tmp_path):
     assert model.depth == 50
     n = sum(x.size for x in jax.tree.leaves(params))
     assert n > 40e6
+
+
+def test_packed_mask_transfer_equivalence(tiny_r50):
+    """The loader's bit-packed GT-mask transfer format (uint8, W//8) yields
+    the same loss as raw bool masks: unpack_mask_bits inverts np.packbits
+    exactly, and build_train_step accepts either dtype (the padded bool
+    tensor was ~94% of the measured step wall time over the device link —
+    tools/profile_train_step.py)."""
+    import jax.numpy as jnp
+
+    from deepemia_tpu.train.trainer import (
+        TrainState,
+        build_train_step,
+        make_mesh,
+        make_optimizer,
+        state_shardings,
+        unpack_mask_bits,
+    )
+
+    rng = np.random.default_rng(7)
+    m = rng.random((3, 64, 64)) > 0.6
+    packed = np.packbits(m, axis=-1)
+    assert packed.shape == (3, 64, 8)
+    assert np.array_equal(np.asarray(unpack_mask_bits(jnp.asarray(packed))), m)
+
+    model, params = tiny_r50
+    tx = make_optimizer(1e-3, 10, params=params)
+    caps = dict(
+        pre_nms_topk=64, post_nms_topk=32, rpn_batch=32, roi_batch=32,
+        mask_rois=8,
+    )
+    losses = []
+    for masks in (
+        m[None].copy(),  # [B=1, G=3, 64, 64] bool
+        packed[None].copy(),  # packed transfer format
+    ):
+        # the step donates its state; copy so the session fixture's params
+        # (aliased by a same-sharding device_put) are never deleted
+        own_params = jax.tree.map(lambda x: x.copy(), params)
+        state = TrainState.create(own_params, tx)
+        mesh = make_mesh(1, max_data=1)
+        step_fn, bsh = build_train_step(
+            model, mesh, tx, loss_caps=caps, state_template=state
+        )
+        state = jax.device_put(state, state_shardings(state, mesh))
+        batch = {
+            "image": (rng.random((1, 64, 64, 3)) * 0 + 128).astype(np.uint8),
+            "gt_boxes": np.array(
+                [[[4, 4, 30, 30], [30, 30, 60, 60], [10, 40, 28, 58]]],
+                np.float32,
+            ),
+            "gt_classes": np.zeros((1, 3), np.int32),
+            "gt_valid": np.ones((1, 3), bool),
+            "gt_masks": masks,
+        }
+        batch = {k: jax.device_put(v, bsh[k]) for k, v in batch.items()}
+        _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses[0])
+    assert abs(losses[0] - losses[1]) < 1e-5
