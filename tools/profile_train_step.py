@@ -20,6 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# share the bench harness's persistent compilation cache so repeat profiles
+# skip the multi-minute train-step compile
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def sync(metrics):
     """On the axon remote platform block_until_ready returns before the
