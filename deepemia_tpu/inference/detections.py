@@ -9,6 +9,7 @@ anti-pattern this replaces; SURVEY.md §3.1 hot loops b/c).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
@@ -133,6 +134,9 @@ def lowres_masks(
     return pasted & inst.valid[:, None, None]
 
 
+@partial(
+    jax.jit, static_argnums=(1,), static_argnames=("stride", "class_aware")
+)
 def dedup_by_mask_iou(
     inst: InstanceSet,
     image_hw,
@@ -143,7 +147,9 @@ def dedup_by_mask_iou(
     """Greedy score-ordered dedup on *mask* IoU (reference
     deduplicate_masks_smart, inference.py:2552-2677 — with its bbox-layout
     bug Q3 fixed by construction). One low-res paste + one MXU matmul + one
-    greedy scan."""
+    greedy scan. Jitted: called eagerly this is ~40 op dispatches of glue,
+    which serializes badly on remote-device transports; as one program it is
+    a single dispatch (``image_hw`` must be a hashable (h, w) tuple)."""
     lm = lowres_masks(inst, image_hw, stride)
     iou = mask_ops.mask_iou_matrix(lm, lm)
     if class_aware:

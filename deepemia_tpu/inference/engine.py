@@ -623,7 +623,7 @@ class TileEngine:
         image: np.ndarray,
         settings: ClassSettings,
         upscale: Optional[float] = None,
-    ) -> Tuple[InstanceSet, float]:
+    ) -> Tuple[InstanceSet, Any]:
         """Run the compiled pipeline for an [H,W,3] uint8/float BGR image.
 
         ``upscale`` overrides the configured tile upscale factor for this
@@ -653,7 +653,11 @@ class TileEngine:
 
             image = jax.device_put(image, NamedSharding(self.mesh, P()))
         inst, quality = self._compiled[key](self.params, image, settings)
-        return inst, float(quality)
+        # quality stays a device scalar: forcing float() here would make
+        # every infer() a host sync, serializing multi-dispatch callers
+        # (the multiscale ladder, ensembles) on the device round trip.
+        # Callers that need a Python float get one lazily via float(q).
+        return inst, quality
 
 
 def cross_class_dedup(

@@ -14,7 +14,7 @@ R50 vs R101 topologies); their padded InstanceSets merge on device.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 from deepemia_tpu.inference.detections import (
     InstanceSet,
@@ -36,7 +36,7 @@ def run_ensemble(
     capacity: int | None = None,
     secondary_class_filter=None,
     upscale=None,
-) -> Tuple[InstanceSet, float]:
+) -> Tuple[InstanceSet, Any]:
     """Run all (name, engine, weight) members and fuse.
 
     Returns (merged InstanceSet, quality score of the image). A member that

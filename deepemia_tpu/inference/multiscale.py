@@ -27,7 +27,7 @@ Parity surfaces (all re-architected TPU-first):
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Any, Dict, List, Sequence, Set, Tuple
 
 import functools
 
@@ -67,7 +67,7 @@ def run_multiscale_inference(
     dedup_iou: float = 0.4,
     max_scale: float = 3.0,
     upscale=None,
-) -> Tuple[InstanceSet, float]:
+) -> Tuple[InstanceSet, Any]:
     """Run the (non-tiled) forward at every scale and merge.
 
     Scaled geometries are rounded to /64 so every scale compiles against an

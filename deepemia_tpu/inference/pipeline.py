@@ -22,7 +22,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import cv2
 import numpy as np
@@ -271,7 +271,7 @@ class InferencePipeline:
         )
         self._apply_default_threshold()
 
-    def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, float]:
+    def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, Any]:
         hw = (image.shape[0], image.shape[1])
         settings = self.settings
         # class-conditional upscale: native-resolution tiles when the size

@@ -179,7 +179,9 @@ class ROIHeads(nn.Module):
     adaptive_pooler: bool = True
     # RoIAlign backend for the INFERENCE path (__call__): 'auto' picks the
     # Pallas window-DMA kernel on TPU. Direct box_forward/mask_forward calls
-    # (the training losses) always use the differentiable XLA gather.
+    # (the training losses) default to the XLA gather forward with the
+    # scatter-free matmul backward (roi_align.py: autodiff's scatter-add is
+    # ~100 ms/step on TPU; the dense backward is MXU matmuls).
     roi_backend: str = "auto"
 
     def setup(self):
@@ -191,7 +193,7 @@ class ROIHeads(nn.Module):
         self,
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
-        backend: str = "xla",
+        backend: str = "xla_fast_grad",
     ):
         pooled = roi_align_dispatch(
             features,
@@ -206,7 +208,7 @@ class ROIHeads(nn.Module):
         self,
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
-        backend: str = "xla",
+        backend: str = "xla_fast_grad",
     ):
         pooled = roi_align_dispatch(
             features,

@@ -29,7 +29,8 @@ reference uses >2 samples/bin) remain approximated by the 2x2 grid.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from functools import partial
+from typing import Dict, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +115,92 @@ def assign_fpn_levels(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+class _SampleGeometry(NamedTuple):
+    """Per-ROI sample geometry at each ROI's assigned FPN level."""
+
+    lvl: jnp.ndarray  # [N] 0-based level index
+    xi0c: jnp.ndarray  # [N,P] clipped left-corner col
+    xi1c: jnp.ndarray  # [N,P] clipped right-corner col
+    yi0c: jnp.ndarray  # [N,P] clipped top-corner row
+    yi1c: jnp.ndarray  # [N,P]
+    fx: jnp.ndarray  # [N,P] x fraction
+    fy: jnp.ndarray  # [N,P]
+    vx: jnp.ndarray  # [N,P] bool sample-in-range
+    vy: jnp.ndarray  # [N,P]
+    lh: jnp.ndarray  # [N] assigned-level height
+    lw: jnp.ndarray  # [N]
+    base: jnp.ndarray  # [N] flattened-pyramid offset of assigned level
+
+
+def _sample_geometry(
+    boxes: jnp.ndarray,
+    heights: np.ndarray,
+    widths: np.ndarray,
+    strides: np.ndarray,
+    output_size: int,
+    sampling_ratio: int,
+    adaptive_ratio: bool,
+) -> _SampleGeometry:
+    """Sample positions/corners/weights for every ROI at its assigned level
+    (shared by the gather forward and the matmul backward — both must see
+    byte-identical geometry)."""
+    s = sampling_ratio
+    p = output_size * s
+    offsets = np.concatenate([[0], np.cumsum(heights * widths)[:-1]]).astype(
+        np.int32
+    )
+
+    lvl = assign_fpn_levels(boxes, 2, 2 + len(heights) - 1) - 2  # [N] 0-based
+    stride = jnp.asarray(strides)[lvl]  # [N]
+    lh = jnp.asarray(heights)[lvl]
+    lw = jnp.asarray(widths)[lvl]
+    base = jnp.asarray(offsets)[lvl]
+
+    scale = 1.0 / stride
+    x0 = boxes[:, 0] * scale - 0.5
+    y0 = boxes[:, 1] * scale - 0.5
+    bw = (boxes[:, 2] - boxes[:, 0]) * scale
+    bh = (boxes[:, 3] - boxes[:, 1]) * scale
+
+    grid = (jnp.arange(p, dtype=jnp.float32) + 0.5) / p  # [P]
+    if adaptive_ratio:
+        # per-bin sample positions for a 1-sample grid: every sub-sample of
+        # bin b sits at its center (b + 0.5)/out. Selecting this grid when
+        # ceil(roi/out) <= 1 (i.e. roi <= out cells) matches the CUDA op's
+        # adaptive rule exactly — duplicated samples average to the single
+        # sample the reference takes.
+        grid1 = (
+            jnp.floor(jnp.arange(p, dtype=jnp.float32) / s) + 0.5
+        ) / output_size  # [P]
+        out_f = jnp.float32(output_size)
+        sx = x0[:, None] + jnp.where(
+            (bw <= out_f)[:, None], grid1[None, :], grid[None, :]
+        ) * bw[:, None]
+        sy = y0[:, None] + jnp.where(
+            (bh <= out_f)[:, None], grid1[None, :], grid[None, :]
+        ) * bh[:, None]
+    else:
+        sx = x0[:, None] + grid[None, :] * bw[:, None]  # [N,P]
+        sy = y0[:, None] + grid[None, :] * bh[:, None]  # [N,P]
+
+    xi0 = jnp.floor(sx).astype(jnp.int32)
+    yi0 = jnp.floor(sy).astype(jnp.int32)
+    return _SampleGeometry(
+        lvl=lvl,
+        xi0c=jnp.clip(xi0, 0, lw[:, None] - 1),
+        xi1c=jnp.clip(xi0 + 1, 0, lw[:, None] - 1),
+        yi0c=jnp.clip(yi0, 0, lh[:, None] - 1),
+        yi1c=jnp.clip(yi0 + 1, 0, lh[:, None] - 1),
+        fx=sx - xi0,
+        fy=sy - yi0,
+        vx=(sx >= -1.0) & (sx <= lw[:, None].astype(jnp.float32)),
+        vy=(sy >= -1.0) & (sy <= lh[:, None].astype(jnp.float32)),
+        lh=lh,
+        lw=lw,
+        base=base,
+    )
+
+
 def multilevel_roi_align(
     features: Dict[str, jnp.ndarray],
     boxes: jnp.ndarray,
@@ -150,54 +237,13 @@ def multilevel_roi_align(
     )
     heights = np.array([features[nm].shape[0] for nm in levels], np.int32)
     widths = np.array([features[nm].shape[1] for nm in levels], np.int32)
-    offsets = np.concatenate([[0], np.cumsum(heights * widths)[:-1]]).astype(
-        np.int32
-    )
     strides = np.array([STRIDES[nm] for nm in levels], np.float32)
 
-    lvl = assign_fpn_levels(boxes, 2, 2 + len(levels) - 1) - 2  # [N] 0-based
-    stride = jnp.asarray(strides)[lvl]  # [N]
-    lh = jnp.asarray(heights)[lvl]
-    lw = jnp.asarray(widths)[lvl]
-    base = jnp.asarray(offsets)[lvl]
-
-    scale = 1.0 / stride
-    x0 = boxes[:, 0] * scale - 0.5
-    y0 = boxes[:, 1] * scale - 0.5
-    bw = (boxes[:, 2] - boxes[:, 0]) * scale
-    bh = (boxes[:, 3] - boxes[:, 1]) * scale
-
-    grid = (jnp.arange(p, dtype=jnp.float32) + 0.5) / p  # [P]
-    if adaptive_ratio:
-        # per-bin sample positions for a 1-sample grid: every sub-sample of
-        # bin b sits at its center (b + 0.5)/out. Selecting this grid when
-        # ceil(roi/out) <= 1 (i.e. roi <= out cells) matches the CUDA op's
-        # adaptive rule exactly — duplicated samples average to the single
-        # sample the reference takes.
-        grid1 = (
-            jnp.floor(jnp.arange(p, dtype=jnp.float32) / s) + 0.5
-        ) / output_size  # [P]
-        out_f = jnp.float32(output_size)
-        sx = x0[:, None] + jnp.where(
-            (bw <= out_f)[:, None], grid1[None, :], grid[None, :]
-        ) * bw[:, None]
-        sy = y0[:, None] + jnp.where(
-            (bh <= out_f)[:, None], grid1[None, :], grid[None, :]
-        ) * bh[:, None]
-    else:
-        sx = x0[:, None] + grid[None, :] * bw[:, None]  # [N,P]
-        sy = y0[:, None] + grid[None, :] * bh[:, None]  # [N,P]
-
-    xi0 = jnp.floor(sx).astype(jnp.int32)
-    yi0 = jnp.floor(sy).astype(jnp.int32)
-    fx = sx - xi0
-    fy = sy - yi0
-    xi0c = jnp.clip(xi0, 0, lw[:, None] - 1)
-    xi1c = jnp.clip(xi0 + 1, 0, lw[:, None] - 1)
-    yi0c = jnp.clip(yi0, 0, lh[:, None] - 1)
-    yi1c = jnp.clip(yi0 + 1, 0, lh[:, None] - 1)
-    vx = ((sx >= -1.0) & (sx <= lw[:, None].astype(jnp.float32)))  # [N,P]
-    vy = ((sy >= -1.0) & (sy <= lh[:, None].astype(jnp.float32)))
+    g = _sample_geometry(
+        boxes, heights, widths, strides, output_size, s, adaptive_ratio
+    )
+    xi0c, xi1c, yi0c, yi1c = g.xi0c, g.xi1c, g.yi0c, g.yi1c
+    fx, fy, vx, vy, lw, base = g.fx, g.fy, g.vx, g.vy, g.lw, g.base
 
     def flat_idx(yy, xx):  # [N,P],[N,P] -> [N,P,P]
         return (
@@ -243,6 +289,144 @@ def multilevel_roi_align(
     return pooled.reshape(n, output_size, output_size, c)
 
 
+# ---------------------------------------------------------------------------
+# Scatter-free backward (training hot path)
+#
+# Autodiff of the gather forward produces a scatter-add of N·P·P·4 rows into
+# the feature pyramid, which XLA serializes on TPU: measured 116 ms for 576
+# ROIs at 14² vs 16 ms forward (tools/bench_roi_grad.py) — the single
+# largest line in the train step. RoIAlign is LINEAR in the features and the
+# bilinear corner weights factor per axis, so the feature cotangent is
+#
+#   dF_l[h,w,c] = Σ_r Σ_{sy,sx} Wy[r,sy,h] · Wx[r,sx,w] · dS[r,sy,sx,c]
+#
+# with Wy/Wx the [P, level-extent] row/column interpolation matrices (two
+# nonzeros per sample) and dS the per-sample share of the pooled cotangent.
+# Evaluated DENSE per level as two chunked einsums this is pure MXU work —
+# more FLOPs than the sparse scatter but two orders of magnitude faster on
+# this hardware. Gradients w.r.t. BOX COORDINATES are defined as zero
+# (Detectron2 semantics: proposals are detached before pooling; the training
+# losses stop_gradient boxes explicitly).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _mra_fast_grad(
+    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio, shapes
+):
+    return multilevel_roi_align(
+        features,
+        boxes,
+        output_size=output_size,
+        sampling_ratio=sampling_ratio,
+        levels=levels,
+        adaptive_ratio=adaptive_ratio,
+    )
+
+
+def _mra_fg_fwd(
+    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio, shapes
+):
+    out = _mra_fast_grad(
+        features, boxes, output_size, sampling_ratio, levels, adaptive_ratio,
+        shapes,
+    )
+    return out, (boxes,)
+
+
+def _level_grad_chunked(dS, Wy, Wx, chunk: int = 64):
+    """dF[h,w,c] = Σ_n Σ_{s,t} Wy[n,s,h]·Wx[n,t,w]·dS[n,s,t,c], chunked over
+    n so the [n,h,t,c] intermediate stays ~tens of MB."""
+    n, p, _, c = dS.shape
+    pad = (-n) % chunk
+    if pad:
+        dS = jnp.pad(dS, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        Wy = jnp.pad(Wy, ((0, pad), (0, 0), (0, 0)))
+        Wx = jnp.pad(Wx, ((0, pad), (0, 0), (0, 0)))
+    nc = (n + pad) // chunk
+    dS = dS.reshape(nc, chunk, p, p, c)
+    Wy = Wy.reshape(nc, chunk, p, Wy.shape[-1])
+    Wx = Wx.reshape(nc, chunk, p, Wx.shape[-1])
+
+    def per_chunk(args):
+        dSc, Wyc, Wxc = args
+        a = jnp.einsum("nsh,nstc->nhtc", Wyc, dSc)
+        return jnp.einsum("nhtc,ntw->hwc", a, Wxc)
+
+    parts = jax.lax.map(per_chunk, (dS, Wy, Wx))  # [nc,H,W,C]
+    return parts.astype(jnp.float32).sum(axis=0)
+
+
+def _mra_fg_bwd(
+    output_size, sampling_ratio, levels, adaptive_ratio, shapes, res, g
+):
+    (boxes,) = res
+    n = boxes.shape[0]
+    s = sampling_ratio
+    p = output_size * s
+    c = g.shape[-1]
+    heights = np.array([sh[0] for sh in shapes], np.int32)
+    widths = np.array([sh[1] for sh in shapes], np.int32)
+    strides = np.array([STRIDES[nm] for nm in levels], np.float32)
+    geom = _sample_geometry(
+        boxes, heights, widths, strides, output_size, s, adaptive_ratio
+    )
+
+    # per-sample cotangent share: every sub-sample of bin (i,j) gets g/s²
+    dS = jnp.broadcast_to(
+        g[:, :, None, :, None, :] / (s * s),
+        (n, output_size, s, output_size, s, c),
+    ).reshape(n, p, p, c)
+
+    wy0 = ((1.0 - geom.fy) * geom.vy).astype(g.dtype)  # [N,P]
+    wy1 = (geom.fy * geom.vy).astype(g.dtype)
+    wx0 = ((1.0 - geom.fx) * geom.vx).astype(g.dtype)
+    wx1 = (geom.fx * geom.vx).astype(g.dtype)
+
+    dfeats = {}
+    for li, nm in enumerate(levels):
+        lh, lw = int(heights[li]), int(widths[li])
+        sel = (geom.lvl == li).astype(g.dtype)[:, None, None]
+        rows = jnp.arange(lh, dtype=jnp.int32)
+        cols = jnp.arange(lw, dtype=jnp.int32)
+        # [N,P,lh]: two (possibly coincident at borders) nonzeros per sample
+        Wy = (
+            (geom.yi0c[:, :, None] == rows) * wy0[:, :, None]
+            + (geom.yi1c[:, :, None] == rows) * wy1[:, :, None]
+        ) * sel
+        Wx = (
+            (geom.xi0c[:, :, None] == cols) * wx0[:, :, None]
+            + (geom.xi1c[:, :, None] == cols) * wx1[:, :, None]
+        ) * sel
+        dfeats[nm] = _level_grad_chunked(dS, Wy, Wx).astype(g.dtype)
+    return dfeats, jnp.zeros_like(boxes)
+
+
+_mra_fast_grad.defvjp(_mra_fg_fwd, _mra_fg_bwd)
+
+
+def multilevel_roi_align_fast_grad(
+    features: Dict[str, jnp.ndarray],
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
+    adaptive_ratio: bool = False,
+) -> jnp.ndarray:
+    """``multilevel_roi_align`` with the scatter-free matmul backward.
+
+    Identical forward; d(features) computed as dense per-level einsums;
+    d(boxes) is ZERO by definition (see block comment above). Use on any
+    differentiated path — the training losses route here.
+    """
+    levels = tuple(nm for nm in levels if nm in features)
+    shapes = tuple(tuple(int(d) for d in features[nm].shape) for nm in levels)
+    return _mra_fast_grad(
+        dict(features), boxes, output_size, sampling_ratio, levels,
+        adaptive_ratio, shapes,
+    )
+
+
 # Pallas kernel coverage: the LARGE window covers boxes up to LARGE_W-2=70
 # cells on the coarsest level (p5, stride 32) => boxes/tiles up to 70*32 =
 # 2240 px pool exactly (kernels/roi_align_pallas.py:_prepare_rois bumps
@@ -262,8 +446,9 @@ def roi_align_dispatch(
     """Multilevel RoIAlign with backend selection.
 
     ``backend``: 'xla' (pyramid point-gather — differentiable, and the
-    default), 'pallas' (window-DMA kernel; interpret mode off-TPU), or
-    'auto' (currently resolves to xla).
+    default), 'xla_fast_grad' (same forward, scatter-free matmul backward,
+    zero box gradients — the training path), 'pallas' (window-DMA kernel;
+    interpret mode off-TPU), or 'auto' (currently resolves to xla).
 
     Status of the Pallas kernel (kernels/roi_align_pallas.py): in
     ISOLATION it beats the gather 1.8x (box stage) / 3.0x (mask stage) on
@@ -277,6 +462,14 @@ def roi_align_dispatch(
     """
     import jax as _jax
 
+    if backend == "xla_fast_grad":
+        return multilevel_roi_align_fast_grad(
+            features,
+            boxes,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            adaptive_ratio=adaptive_ratio,
+        )
     on_tpu = _jax.default_backend() == "tpu"
     use_pallas = backend == "pallas"
     if use_pallas:

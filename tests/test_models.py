@@ -368,3 +368,113 @@ def test_checkpoint_conversion_tree_matches_model(rng):
         for path, leaf in jax.tree_util.tree_flatten_with_path(expected)[0]
     }
     assert conv_paths == exp_paths
+
+
+def test_fast_grad_roi_align_matches_autodiff():
+    """The scatter-free matmul backward must reproduce autodiff of the
+    gather forward exactly (f32): same d(features) for interior, border,
+    out-of-image, tiny, huge, and extreme-aspect boxes; zero d(boxes) by
+    definition."""
+    from deepemia_tpu.models.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_fast_grad,
+    )
+
+    rng = np.random.default_rng(7)
+    h = w = 64
+    feats = {
+        f"p{i}": jnp.asarray(
+            rng.standard_normal((h >> (i - 2), w >> (i - 2), 8)), jnp.float32
+        )
+        for i in range(2, 6)
+    }
+    boxes = jnp.asarray(
+        np.array(
+            [
+                [10.0, 12.0, 30.0, 28.0],  # interior, level 2
+                [0.0, 0.0, 63.0, 63.0],  # full image
+                [-5.0, -8.0, 10.0, 9.0],  # crosses the top-left border
+                [58.0, 58.0, 80.0, 90.0],  # crosses the bottom-right border
+                [20.0, 20.0, 20.4, 20.4],  # tiny
+                [1.0, 30.0, 62.0, 32.0],  # extreme aspect (62x2)
+                [30.0, 1.0, 33.0, 60.0],  # extreme aspect (3x59)
+                [5.0, 5.0, 6.0, 6.0],  # 1px
+            ],
+            np.float32,
+        )
+    )
+    for out_size, adaptive in ((7, True), (14, False)):
+        cot = jnp.asarray(
+            rng.standard_normal((boxes.shape[0], out_size, out_size, 8)),
+            jnp.float32,
+        )
+
+        def loss_ref(fs):
+            return jnp.vdot(
+                multilevel_roi_align(
+                    fs, boxes, output_size=out_size, adaptive_ratio=adaptive
+                ),
+                cot,
+            )
+
+        def loss_fast(fs):
+            return jnp.vdot(
+                multilevel_roi_align_fast_grad(
+                    fs, boxes, output_size=out_size, adaptive_ratio=adaptive
+                ),
+                cot,
+            )
+
+        ref = jax.grad(loss_ref)(feats)
+        fast = jax.grad(loss_fast)(feats)
+        for nm in feats:
+            np.testing.assert_allclose(
+                np.asarray(fast[nm]),
+                np.asarray(ref[nm]),
+                rtol=1e-4,
+                atol=1e-5,
+                err_msg=f"{nm} out={out_size} adaptive={adaptive}",
+            )
+
+    # forward values identical, box grads defined as zero
+    fwd_ref = multilevel_roi_align(feats, boxes, output_size=7)
+    fwd_fast = multilevel_roi_align_fast_grad(feats, boxes, output_size=7)
+    np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd_fast))
+    dbox = jax.grad(
+        lambda b: multilevel_roi_align_fast_grad(feats, b, output_size=7).sum()
+    )(boxes)
+    np.testing.assert_array_equal(np.asarray(dbox), 0.0)
+
+
+def test_fast_grad_roi_align_under_vmap():
+    """The training losses vmap per-image over the batch; the custom VJP
+    must batch correctly."""
+    from deepemia_tpu.models.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_fast_grad,
+    )
+
+    rng = np.random.default_rng(3)
+    feats = {
+        f"p{i}": jnp.asarray(
+            rng.standard_normal((2, 32 >> (i - 2), 32 >> (i - 2), 4)),
+            jnp.float32,
+        )
+        for i in range(2, 6)
+    }
+    boxes = jnp.asarray(rng.random((2, 5, 4)) * 16, jnp.float32)
+    boxes = boxes.at[..., 2:].add(boxes[..., :2] + 2.0)
+
+    def batched(fn, fs):
+        return jax.vmap(
+            lambda f, b: fn(f, b, output_size=7).sum(), in_axes=(0, 0)
+        )(fs, boxes).sum()
+
+    ref = jax.grad(lambda fs: batched(multilevel_roi_align, fs))(feats)
+    fast = jax.grad(lambda fs: batched(multilevel_roi_align_fast_grad, fs))(
+        feats
+    )
+    for nm in feats:
+        np.testing.assert_allclose(
+            np.asarray(fast[nm]), np.asarray(ref[nm]), rtol=1e-4, atol=1e-5
+        )
