@@ -86,16 +86,22 @@ def measurement_rows(
     psum: str,
     image_area: float,
     min_area_floor: float = 5.0,
+    valid: np.ndarray | None = None,
+    classes: np.ndarray | None = None,
 ) -> List[List]:
     """Format device measurements into reference-schema CSV rows.
 
     Applies the reference's adaptive area gate (inference.py:1177-1186:
     min_area = max(5, image_area·5e-6·0.05)) and the exact Q8 formulas.
+    Callers that already pulled ``valid``/``classes`` to the host can pass
+    them to avoid two extra device round trips.
     """
     rows: List[List] = []
     min_area = max(min_area_floor, image_area * 0.000005 * 0.05)
-    valid = np.asarray(inst.valid)
-    classes = np.asarray(inst.classes)
+    if valid is None:
+        valid = np.asarray(inst.valid)
+    if classes is None:
+        classes = np.asarray(inst.classes)
     get = lambda k: np.asarray(measures[k])  # noqa: E731
 
     area = get("area")

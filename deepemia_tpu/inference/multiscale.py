@@ -123,9 +123,21 @@ def iterative_threshold_inference(
     ``base_threshold`` is a scalar or per-class [C] array. Returns the
     instances above each class's final threshold plus a diagnostic dict.
     """
-    scores = np.asarray(inst_at_floor.scores)
-    valid = np.asarray(inst_at_floor.valid)
-    classes = np.asarray(inst_at_floor.classes)
+    # ONE device->host pull for the three columns the host walk reads: on
+    # tunneled devices each pull is a full round trip, so three separate
+    # np.asarray calls triple the latency of this stage.
+    packed = np.asarray(
+        jnp.stack(
+            [
+                inst_at_floor.scores.astype(jnp.float32),
+                inst_at_floor.valid.astype(jnp.float32),
+                inst_at_floor.classes.astype(jnp.float32),
+            ]
+        )
+    )
+    scores = packed[0]
+    valid = packed[1] != 0.0
+    classes = packed[2].astype(np.int32)
     bases = np.atleast_1d(np.asarray(base_threshold, np.float64))
     present = sorted(set(classes[valid].tolist())) or [0]
     final_thr: Dict[int, float] = {}
@@ -189,14 +201,28 @@ def calculate_average_mask_sizes(
         if img is None:
             continue
         inst, _ = engine.infer(img, settings)
-        scores = np.asarray(inst.scores)
-        valid = np.asarray(inst.valid) & (scores >= confidence)
-        boxes = np.asarray(inst.boxes)
-        frac = np.asarray(inst.mask_probs).mean(axis=(1, 2))
-        areas = frac * np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
-            boxes[:, 3] - boxes[:, 1], 0
+        # Compute areas on device and make ONE packed pull: a separate
+        # np.asarray per column (incl. the multi-MB mask_probs tensor) costs
+        # a full round trip each on tunneled devices.
+        frac_dev = inst.mask_probs.mean(axis=(1, 2))
+        areas_dev = (
+            frac_dev
+            * jnp.maximum(inst.boxes[:, 2] - inst.boxes[:, 0], 0.0)
+            * jnp.maximum(inst.boxes[:, 3] - inst.boxes[:, 1], 0.0)
         )
-        classes = np.asarray(inst.classes)
+        packed = np.asarray(
+            jnp.stack(
+                [
+                    inst.scores.astype(jnp.float32),
+                    inst.valid.astype(jnp.float32),
+                    inst.classes.astype(jnp.float32),
+                    areas_dev.astype(jnp.float32),
+                ]
+            )
+        )
+        valid = (packed[1] != 0.0) & (packed[0] >= confidence)
+        classes = packed[2].astype(np.int32)
+        areas = packed[3]
         for c, a in zip(classes[valid], areas[valid]):
             sizes.setdefault(int(c), []).append(float(a))
     return {c: float(np.mean(v)) for c, v in sizes.items() if v}

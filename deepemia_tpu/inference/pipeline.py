@@ -522,6 +522,8 @@ class InferencePipeline:
         if not images:
             log.warning("No images found in %s", image_folder)
         self.ensure_size_heuristics(image_folder, images)
+        import jax.numpy as jnp
+
         from deepemia_tpu.utils.profiling import StageTimers
 
         timers = StageTimers()
@@ -582,7 +584,19 @@ class InferencePipeline:
                             img_dev if img_dev is not None else img
                         )
 
-                    valid = np.asarray(inst.valid)
+                    # one packed pull for the two columns every host stage
+                    # below reads (valid, classes) — per-column pulls are a
+                    # full round trip each on tunneled devices
+                    vc = np.asarray(
+                        jnp.stack(
+                            [
+                                inst.valid.astype(jnp.int32),
+                                inst.classes.astype(jnp.int32),
+                            ]
+                        )
+                    )
+                    valid = vc[0] != 0
+                    cls_host = vc[1]
                     kept = [i for i in range(len(valid)) if valid[i]]
                     # full-res host masks only for overlays; the host
                     # measurement backend uses O(K·S²) window crops instead
@@ -602,9 +616,20 @@ class InferencePipeline:
                             starts, lengths, n_runs, max_runs = self._device_rle(
                                 inst, hw
                             )
-                            starts = np.asarray(starts)
-                            lengths = np.asarray(lengths)
-                            n_runs = np.asarray(n_runs)
+                            # one packed pull instead of three round trips
+                            packed = np.asarray(
+                                jnp.concatenate(
+                                    [
+                                        starts,
+                                        lengths,
+                                        n_runs[:, None].astype(starts.dtype),
+                                    ],
+                                    axis=1,
+                                )
+                            )
+                            starts = packed[:, :max_runs]
+                            lengths = packed[:, max_runs : 2 * max_runs]
+                            n_runs = packed[:, -1]
                             for i in kept:
                                 n = int(n_runs[i])
                                 if n >= max_runs:
@@ -649,7 +674,7 @@ class InferencePipeline:
                         if masks is not None:  # already exported for viz
                             rows = measurement_rows_host(
                                 masks,
-                                np.asarray(inst.classes),
+                                cls_host,
                                 valid,
                                 name,
                                 self.class_names,
@@ -667,7 +692,7 @@ class InferencePipeline:
                                 wins,
                                 origins,
                                 scales,
-                                np.asarray(inst.classes),
+                                cls_host,
                                 valid,
                                 name,
                                 self.class_names,
@@ -684,14 +709,28 @@ class InferencePipeline:
                             measure_contrast=measure_contrast,
                             mask_threshold=self.mask_threshold,
                         )
+                        # pack the ~12 per-instance measurement columns into
+                        # one device->host transfer (per-key pulls pay one
+                        # tunnel round trip each)
+                        mkeys = sorted(measures)
+                        mpacked = np.asarray(
+                            jnp.stack(
+                                [
+                                    measures[k].astype(jnp.float32)
+                                    for k in mkeys
+                                ]
+                            )
+                        )
                         rows = measure_lib.measurement_rows(
-                            {k: np.asarray(v) for k, v in measures.items()},
+                            {k: mpacked[j] for j, k in enumerate(mkeys)},
                             inst,
                             name,
                             self.class_names,
                             um_pix,
                             psum,
                             float(hw[0] * hw[1]),
+                            valid=valid,
+                            classes=cls_host,
                         )
                     _mt.__exit__(None, None, None)
                     writer.writerows(rows)
@@ -701,7 +740,7 @@ class InferencePipeline:
                         overlay = viz.render_overlay(
                             img,
                             [masks[i] for i in kept],
-                            [int(np.asarray(inst.classes)[i]) for i in kept],
+                            [int(cls_host[i]) for i in kept],
                             draw_ids=draw_ids,
                         )
                         if draw_scalebar:
