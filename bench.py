@@ -265,7 +265,16 @@ def bench_train_step(jax, jnp):
     )
 
     platform = jax.devices()[0].platform
-    model = build_model("R50", num_classes=2, use_bf16=platform != "cpu")
+    model = build_model(
+        "R50",
+        num_classes=2,
+        use_bf16=platform != "cpu",
+        # the trainer's 'auto' resolution (trainer.train): Pallas RoIAlign
+        # forward + matmul backward on TPU
+        train_roi_backend=(
+            "pallas_fast_grad" if platform == "tpu" else "xla_fast_grad"
+        ),
+    )
     params = init_params(model, (512, 512), seed=0)
     tx = make_optimizer(2.5e-4, 1000, 100, params=params)
     state = TrainState.create(params, tx)

@@ -182,6 +182,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             # producer threads for the training data loader (reference
             # DATALOADER.NUM_WORKERS); 1 = fully deterministic batch order
             "loader_workers": Field(types=int, default=2),
+            # RoIAlign backend for the differentiated heads: 'auto' =
+            # Pallas forward + matmul backward on TPU, XLA gather elsewhere
+            "roi_backend": Field(types=str, default="auto"),
         }
     ),
     "performance": _mapping(

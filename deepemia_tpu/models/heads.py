@@ -179,10 +179,13 @@ class ROIHeads(nn.Module):
     adaptive_pooler: bool = True
     # RoIAlign backend for the INFERENCE path (__call__): 'auto' picks the
     # Pallas window-DMA kernel on TPU. Direct box_forward/mask_forward calls
-    # (the training losses) default to the XLA gather forward with the
-    # scatter-free matmul backward (roi_align.py: autodiff's scatter-add is
-    # ~100 ms/step on TPU; the dense backward is MXU matmuls).
+    # (the training losses) default to ``train_roi_backend``: the XLA gather
+    # forward with the scatter-free matmul backward (roi_align.py: autodiff's
+    # scatter-add is ~100 ms/step on TPU; the dense backward is MXU matmuls).
+    # 'pallas_fast_grad' swaps the forward for the window-DMA kernel while
+    # keeping the same matmul backward.
     roi_backend: str = "auto"
+    train_roi_backend: str = "xla_fast_grad"
 
     def setup(self):
         self.box_head = BoxHead(dtype=self.dtype)
@@ -193,8 +196,9 @@ class ROIHeads(nn.Module):
         self,
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
-        backend: str = "xla_fast_grad",
+        backend: str | None = None,
     ):
+        backend = backend or self.train_roi_backend
         pooled = roi_align_dispatch(
             features,
             boxes,
@@ -208,8 +212,9 @@ class ROIHeads(nn.Module):
         self,
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
-        backend: str = "xla_fast_grad",
+        backend: str | None = None,
     ):
+        backend = backend or self.train_roi_backend
         pooled = roi_align_dispatch(
             features,
             boxes,

@@ -40,8 +40,11 @@ class MaskRCNN(nn.Module):
     # set False for the fixed 2x2 sample grid
     adaptive_pooler: bool = True
     # inference RoIAlign backend: 'auto' = Pallas window-DMA kernel on TPU
-    # (training sub-forwards always use the differentiable XLA gather)
     roi_backend: str = "auto"
+    # training sub-forward (box_forward/mask_forward) backend:
+    # 'xla_fast_grad' = differentiable XLA gather + matmul backward;
+    # 'pallas_fast_grad' = window-DMA kernel forward, same matmul backward
+    train_roi_backend: str = "xla_fast_grad"
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
@@ -52,6 +55,7 @@ class MaskRCNN(nn.Module):
             dtype=self.dtype,
             adaptive_pooler=self.adaptive_pooler,
             roi_backend=self.roi_backend,
+            train_roi_backend=self.train_roi_backend,
         )
 
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
@@ -140,6 +144,7 @@ def build_model(
     num_classes: int = 2,
     use_bf16: bool = True,
     roi_backend: str = "auto",
+    train_roi_backend: str = "xla_fast_grad",
 ) -> MaskRCNN:
     """Model factory keyed the way the reference keys checkpoints
     (train_model.py:230-238 suffixes r50/r101)."""
@@ -150,6 +155,7 @@ def build_model(
         num_classes=num_classes,
         dtype=dtype,
         roi_backend=roi_backend,
+        train_roi_backend=train_roi_backend,
     )
 
 

@@ -310,10 +310,26 @@ def multilevel_roi_align(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _mra_fast_grad(
-    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio, shapes
+    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio,
+    shapes, fwd_backend,
 ):
+    if fwd_backend == "pallas":
+        from deepemia_tpu.kernels.roi_align_pallas import roi_align_pallas
+
+        out = roi_align_pallas(
+            features,
+            boxes,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            levels=levels,
+            adaptive_ratio=adaptive_ratio,
+            interpret=jax.default_backend() != "tpu",
+        )
+        # match the gather forward's output dtype so the custom_vjp cotangent
+        # dtype lines up with the (possibly bf16) feature dtype
+        return out.astype(features[levels[0]].dtype)
     return multilevel_roi_align(
         features,
         boxes,
@@ -325,11 +341,12 @@ def _mra_fast_grad(
 
 
 def _mra_fg_fwd(
-    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio, shapes
+    features, boxes, output_size, sampling_ratio, levels, adaptive_ratio,
+    shapes, fwd_backend,
 ):
     out = _mra_fast_grad(
         features, boxes, output_size, sampling_ratio, levels, adaptive_ratio,
-        shapes,
+        shapes, fwd_backend,
     )
     return out, (boxes,)
 
@@ -358,7 +375,8 @@ def _level_grad_chunked(dS, Wy, Wx, chunk: int = 64):
 
 
 def _mra_fg_bwd(
-    output_size, sampling_ratio, levels, adaptive_ratio, shapes, res, g
+    output_size, sampling_ratio, levels, adaptive_ratio, shapes, fwd_backend,
+    res, g,
 ):
     (boxes,) = res
     n = boxes.shape[0]
@@ -412,18 +430,23 @@ def multilevel_roi_align_fast_grad(
     sampling_ratio: int = 2,
     levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
     adaptive_ratio: bool = False,
+    fwd_backend: str = "xla",
 ) -> jnp.ndarray:
     """``multilevel_roi_align`` with the scatter-free matmul backward.
 
     Identical forward; d(features) computed as dense per-level einsums;
     d(boxes) is ZERO by definition (see block comment above). Use on any
     differentiated path — the training losses route here.
+
+    ``fwd_backend='pallas'`` runs the window-DMA kernel as the forward
+    (same semantics; the custom_vjp boundary means the kernel is never
+    differentiated — the matmul backward serves both forwards).
     """
     levels = tuple(nm for nm in levels if nm in features)
     shapes = tuple(tuple(int(d) for d in features[nm].shape) for nm in levels)
     return _mra_fast_grad(
         dict(features), boxes, output_size, sampling_ratio, levels,
-        adaptive_ratio, shapes,
+        adaptive_ratio, shapes, fwd_backend,
     )
 
 
@@ -462,13 +485,23 @@ def roi_align_dispatch(
     """
     import jax as _jax
 
-    if backend == "xla_fast_grad":
+    if backend in ("xla_fast_grad", "pallas_fast_grad"):
+        fwd = "xla"
+        if backend == "pallas_fast_grad":
+            # same size guard as the inference pallas path below
+            p2 = features[min(features, key=lambda k: STRIDES.get(k, 99))]
+            extent = max(p2.shape[0], p2.shape[1]) * min(
+                STRIDES[k] for k in features if k in STRIDES
+            )
+            if extent <= _PALLAS_MAX_IMAGE:
+                fwd = "pallas"
         return multilevel_roi_align_fast_grad(
             features,
             boxes,
             output_size=output_size,
             sampling_ratio=sampling_ratio,
             adaptive_ratio=adaptive_ratio,
+            fwd_backend=fwd,
         )
     on_tpu = _jax.default_backend() == "tpu"
     use_pallas = backend == "pallas"

@@ -57,6 +57,61 @@ def test_pallas_level_bump_for_elongated_boxes(pyramid):
     assert abs(g.mean() - np.asarray(ref).mean()) < 0.1
 
 
+def test_pallas_fast_grad_backend(pyramid):
+    """'pallas_fast_grad' = Pallas kernel forward + the scatter-free matmul
+    backward: forward matches the gather path, gradients match
+    'xla_fast_grad' exactly (shared backward), output dtype follows the
+    feature dtype so the custom_vjp cotangent lines up."""
+    from deepemia_tpu.models.roi_align import roi_align_dispatch
+
+    boxes = jnp.asarray(
+        [[40.0, 40.0, 120.0, 100.0], [10.0, 10.0, 400.0, 380.0]], jnp.float32
+    )
+
+    def loss(f, backend):
+        out = roi_align_dispatch(
+            f, boxes, output_size=7, adaptive_ratio=True, backend=backend
+        )
+        return (out.astype(jnp.float32) ** 2).sum(), out
+
+    (v1, o1), g1 = jax.value_and_grad(
+        lambda f: loss(f, "xla_fast_grad"), has_aux=True
+    )(pyramid)
+    (v2, o2), g2 = jax.value_and_grad(
+        lambda f: loss(f, "pallas_fast_grad"), has_aux=True
+    )(pyramid)
+    assert o2.dtype == pyramid["p2"].dtype
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+    for k in pyramid:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4
+        )
+
+
+def test_pallas_fast_grad_size_guard():
+    """Feature maps implying boxes beyond the Pallas LARGE-window coverage
+    route the forward back to the XLA gather (ADVICE r2 guard, extended to
+    the training backend)."""
+    from deepemia_tpu.models.roi_align import roi_align_dispatch
+
+    rng_l = np.random.default_rng(0)
+    big = {
+        "p2": jnp.asarray(rng_l.random((640, 640, 32)).astype(np.float32)),
+        "p3": jnp.asarray(rng_l.random((320, 320, 32)).astype(np.float32)),
+        "p4": jnp.asarray(rng_l.random((160, 160, 32)).astype(np.float32)),
+        "p5": jnp.asarray(rng_l.random((80, 80, 32)).astype(np.float32)),
+    }  # 2560-px image > _PALLAS_MAX_IMAGE
+    boxes = jnp.asarray([[0.0, 0.0, 2400.0, 2400.0]], jnp.float32)
+    from deepemia_tpu.models.roi_align import multilevel_roi_align
+
+    ref = multilevel_roi_align(big, boxes, output_size=7, adaptive_ratio=True)
+    got = roi_align_dispatch(
+        big, boxes, output_size=7, adaptive_ratio=True,
+        backend="pallas_fast_grad",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_model_forward_pallas_backend_matches_xla():
     """Full Mask R-CNN forward with roi_backend='pallas' (interpret mode on
     CPU) must reproduce the XLA-gather detections."""

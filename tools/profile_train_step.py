@@ -37,6 +37,7 @@ def sync(metrics):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    train_roi = sys.argv[3] if len(sys.argv) > 3 else "xla_fast_grad"
     gmax = 64
 
     from deepemia_tpu.models.mask_rcnn import build_model, init_params
@@ -48,7 +49,9 @@ def main():
         state_shardings,
     )
 
-    model = build_model("R50", num_classes=2, use_bf16=True)
+    model = build_model(
+        "R50", num_classes=2, use_bf16=True, train_roi_backend=train_roi
+    )
     params = init_params(model, (size, size))
     tx = make_optimizer(0.00025, 1000, params=params)
     state = TrainState.create(params, tx)
