@@ -279,7 +279,9 @@ def bench_train_step(jax, jnp):
     tx = make_optimizer(2.5e-4, 1000, 100, params=params)
     state = TrainState.create(params, tx)
     mesh = make_mesh(1)
-    step_fn, bsh = build_train_step(model, mesh, tx, state_template=state)
+    _, _, packed_fn, packed_sh = build_train_step(
+        model, mesh, tx, state_template=state, packed_shape=(512, 16)
+    )
     state = jax.device_put(state, state_shardings(state, mesh))
 
     b, s, g = 2, 512, 16
@@ -302,29 +304,28 @@ def bench_train_step(jax, jnp):
         "gt_masks": np.packbits(masks, axis=-1),
     }
 
-    def put(hb):
-        return {k: jax.device_put(v, bsh[k]) for k, v in hb.items()}
+    # sustained pattern = the trainer loop: the whole batch + per-step
+    # [seed, step] key cross the link as ONE pack_batch_bytes buffer,
+    # double-buffered against the async step dispatch; sync only at the
+    # end (a per-step _sync measures tunnel round-trip latency, not
+    # training throughput — 8.6 vs ~200 steps/s on the same program)
+    from deepemia_tpu.train.trainer import pack_batch_bytes
 
-    # sustained pattern = the trainer loop: per-step host->device transfer
-    # double-buffered against the async step dispatch, host-built [seed,
-    # step] key data (an eager jax.random.split per step is a synchronous
-    # ~30 ms round trip on a tunneled device), sync only at the end (the
-    # old per-step _sync measured tunnel round-trip latency, not training
-    # throughput — 8.6 vs ~200 steps/s on the same program)
-    def step_key(i):
-        return jax.device_put(np.array([0, i], np.uint32))
+    def put(hb, i):
+        key = np.array([0, i], np.uint32)
+        return jax.device_put(pack_batch_bytes(hb, key), packed_sh)
 
-    pending = put(host_batch)
+    pending = put(host_batch, 0)
     for i in range(3):  # compile + warm
-        state, m = step_fn(state, pending, step_key(i))
-        pending = put(host_batch)
+        state, m = packed_fn(state, pending)
+        pending = put(host_batch, i + 1)
     _sync(m["total"])
     t0 = time.perf_counter()
     n = 30
     for i in range(n):
-        state, m = step_fn(state, pending, step_key(i))
+        state, m = packed_fn(state, pending)
         if i + 1 < n:
-            pending = put(host_batch)
+            pending = put(host_batch, i)
     _sync(m["total"])
     per = (time.perf_counter() - t0) / n
     # reference: ~30 min/epoch on L4. With the auto schedule (100-200

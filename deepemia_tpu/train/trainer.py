@@ -202,6 +202,72 @@ def batch_pspecs() -> Dict[str, P]:
     }
 
 
+def pack_batch_bytes(batch: Dict[str, np.ndarray], key_data: np.ndarray):
+    """Serialize a whole train batch + PRNG key into ONE [B, L] uint8 buffer.
+
+    The trainer loop used to issue six device_puts per step (five batch
+    fields + the key); on a tunneled device every put is a full host round
+    trip, which capped production throughput at ~13 steps/s while the step
+    itself ran at 24 (tools/profile_train_step.py). One per-example byte
+    row keeps the 'data'-axis sharding and costs ONE transfer.
+
+    Layout per example (each field 4-byte aligned):
+      image u8 [S,S,3] | boxes f32 [G,4] | classes i32 [G] | valid u8 [G]
+      | masks u8 [G,S,S//8] (np.packbits) | key u32 [2] (same every row).
+    """
+    b = batch["image"].shape[0]
+    parts = []
+
+    def add(x):
+        raw = np.ascontiguousarray(x).reshape(b, -1).view(np.uint8)
+        if raw.shape[1] % 4:
+            raw = np.pad(raw, ((0, 0), (0, (-raw.shape[1]) % 4)))
+        parts.append(raw)
+
+    add(batch["image"].astype(np.uint8, copy=False))
+    add(batch["gt_boxes"].astype(np.float32, copy=False))
+    add(batch["gt_classes"].astype(np.int32, copy=False))
+    add(batch["gt_valid"].astype(np.uint8, copy=False))
+    masks = batch["gt_masks"]
+    if masks.dtype != np.uint8:  # accept raw bool for test callers
+        masks = np.packbits(masks, axis=-1)
+    add(masks)
+    key_row = np.ascontiguousarray(key_data, dtype=np.uint32).view(np.uint8)
+    parts.append(np.broadcast_to(key_row[None], (b, 8)))
+    return np.concatenate(parts, axis=1)
+
+
+def unpack_batch_bytes(buf: jnp.ndarray, s: int, g: int):
+    """Device-side inverse of ``pack_batch_bytes`` (runs inside the jitted
+    step — the slices/bitcasts fuse into their consumers)."""
+    b = buf.shape[0]
+    off = [0]
+
+    def take(n):
+        sl = jax.lax.slice_in_dim(buf, off[0], off[0] + n, axis=1)
+        off[0] += n + ((-n) % 4)
+        return sl
+
+    image = take(s * s * 3).reshape(b, s, s, 3)  # uint8; loss casts
+    boxes = jax.lax.bitcast_convert_type(
+        take(g * 16).reshape(b, g, 4, 4), jnp.float32
+    )
+    classes = jax.lax.bitcast_convert_type(
+        take(g * 4).reshape(b, g, 4), jnp.int32
+    )
+    valid = take(g).reshape(b, g).astype(bool)
+    masks = take(g * s * (s // 8)).reshape(b, g, s, s // 8)  # stays packed
+    key = jax.lax.bitcast_convert_type(take(8)[0].reshape(2, 4), jnp.uint32)
+    batch = {
+        "image": image,
+        "gt_boxes": boxes,
+        "gt_classes": classes,
+        "gt_valid": valid,
+        "gt_masks": masks,
+    }
+    return batch, key
+
+
 def unpack_mask_bits(packed: jnp.ndarray) -> jnp.ndarray:
     """[..., W//8] uint8 (np.packbits bitorder='big' layout) -> [..., W] bool.
 
@@ -222,11 +288,17 @@ def build_train_step(
     tx,
     loss_caps: Optional[dict] = None,
     state_template: Optional[TrainState] = None,
+    packed_shape: Optional[Tuple[int, int]] = None,
 ):
     """jit-compiled sharded train step: (state, batch, rng) -> (state, metrics).
 
     ``loss_caps`` overrides the static proposal/sample capacities (tiny for
     dry runs / CI, Detectron2 defaults for production).
+
+    ``packed_shape=(train_size, max_instances)``: ALSO return a packed-wire
+    step ``(state, buf [B,L] uint8) -> (state, metrics)`` consuming
+    ``pack_batch_bytes`` rows (batch + key in one transfer). Returns
+    ``(step_fn, batch_shardings, packed_fn, packed_sharding)`` then.
     """
     caps = loss_caps or {}
 
@@ -278,7 +350,28 @@ def build_train_step(
         )
     else:
         fn = jax.jit(step, donate_argnums=(0,))
-    return fn, batch_shardings
+    if packed_shape is None:
+        return fn, batch_shardings
+
+    ts, gmax = packed_shape
+
+    def step_packed(state: TrainState, buf):
+        batch, key = unpack_batch_bytes(buf, ts, gmax)
+        return step(state, batch, key)
+
+    packed_sharding = NamedSharding(mesh, P("data"))
+    # the buffer is NOT donated: its bytes feed bitcasts of different
+    # shapes, so XLA can never reuse it and would warn every compile
+    if state_template is not None:
+        packed_fn = jax.jit(
+            step_packed,
+            in_shardings=(st_sh, packed_sharding),
+            out_shardings=(st_sh, repl),
+            donate_argnums=(0,),
+        )
+    else:
+        packed_fn = jax.jit(step_packed, donate_argnums=(0,))
+    return fn, batch_shardings, packed_fn, packed_sharding
 
 
 # ---------------------------------------------------------------------------
@@ -444,8 +537,13 @@ def train(
     )
     state = TrainState.create(params, tx)
     mesh = make_mesh(cfg.n_model_shards, max_data=cfg.ims_per_batch)
-    step_fn, batch_shardings = build_train_step(
-        model, mesh, tx, cfg.loss_caps, state_template=state
+    step_fn, batch_shardings, packed_fn, packed_sharding = build_train_step(
+        model,
+        mesh,
+        tx,
+        cfg.loss_caps,
+        state_template=state,
+        packed_shape=(cfg.train_size, cfg.max_instances),
     )
     # place the state under its sharding (TP leaves split over 'model')
     state = jax.device_put(state, state_shardings(state, mesh))
@@ -488,36 +586,36 @@ def train(
     try:
         # double-buffer: the NEXT batch's host->device transfer is issued
         # right after the (async) step dispatch, so it rides alongside the
-        # device compute instead of serializing in front of it
+        # device compute instead of serializing in front of it.
+        #
+        # The whole batch + the per-step PRNG key cross the link as ONE
+        # pack_batch_bytes buffer: six separate device_puts per step each
+        # paid a full host round trip on a tunneled device, capping the
+        # loop at ~13 steps/s while the step itself ran at 24. Keys are
+        # raw [seed, step] threefry data (resume-stable random streams —
+        # an eager jax.random.split chain is a synchronous ~30 ms dispatch
+        # per step and was never resume-stable).
         loader_iter = iter(loader)
-
-        def put(b):
-            return {
-                k: jax.device_put(v, batch_shardings[k]) for k, v in b.items()
-            }
-
-        # Per-step PRNG keys are built host-side as raw threefry key data
-        # [seed, step] and device_put like the batch. The eager
-        # jax.random.split chain this replaces is a synchronous dispatch
-        # that costs a full ~30 ms round trip per step on a tunneled
-        # device (measured: 30 steps/s vs 200+ with everything else
-        # identical); keying by absolute step also makes the random
-        # stream resume-stable, which the split chain never was.
-        rng_sharding = NamedSharding(mesh, P())
         seed32 = np.uint32(cfg.seed & 0xFFFFFFFF)
 
-        def step_key(i):
+        def put(b, i):
+            key_data = np.array(
+                [seed32, np.uint32(i & 0xFFFFFFFF)], np.uint32
+            )
             return jax.device_put(
-                np.array([seed32, np.uint32(i & 0xFFFFFFFF)], np.uint32),
-                rng_sharding,
+                pack_batch_bytes(b, key_data), packed_sharding
             )
 
-        pending = put(next(loader_iter)) if start_step < max_iter else None
+        pending = (
+            put(next(loader_iter), start_step)
+            if start_step < max_iter
+            else None
+        )
         lagged = None  # (step, device metrics) awaiting a stall-free log
         for i in range(start_step, max_iter):
-            state, m = step_fn(state, pending, step_key(i))
+            state, m = packed_fn(state, pending)
             if i + 1 < max_iter:
-                pending = put(next(loader_iter))
+                pending = put(next(loader_iter), i + 1)
             if (i + 1) % cfg.log_every == 0 or i + 1 == max_iter:
                 # log the PREVIOUS interval's metrics (those device values
                 # materialized long ago, so float() returns immediately);

@@ -149,3 +149,67 @@ def test_packed_mask_transfer_equivalence(tiny_r50):
         losses.append(float(metrics["total"]))
     assert np.isfinite(losses[0])
     assert abs(losses[0] - losses[1]) < 1e-5
+
+
+def test_packed_wire_step_equivalence(tiny_r50):
+    """The single-buffer wire format (pack_batch_bytes -> one device_put ->
+    device-side bitcast unpack) yields EXACTLY the dict-path loss: the
+    trainer loop ships batch + PRNG key as one [B,L] uint8 row per example
+    (six per-step transfers each paid a full round trip on a tunneled
+    device)."""
+    import jax.numpy as jnp
+
+    from deepemia_tpu.train.trainer import (
+        TrainState,
+        build_train_step,
+        make_mesh,
+        make_optimizer,
+        pack_batch_bytes,
+        state_shardings,
+        unpack_batch_bytes,
+    )
+
+    model, params = tiny_r50
+    tx = make_optimizer(1e-3, 10, params=params)
+    caps = dict(
+        pre_nms_topk=64, post_nms_topk=32, rpn_batch=32, roi_batch=32,
+        mask_rois=8,
+    )
+    rng = np.random.default_rng(3)
+    masks = rng.random((2, 4, 64, 64)) > 0.7
+    batch = {
+        "image": (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8),
+        "gt_boxes": rng.random((2, 4, 4)).astype(np.float32) * 40,
+        "gt_classes": np.ones((2, 4), np.int32),
+        "gt_valid": np.ones((2, 4), bool),
+        "gt_masks": np.packbits(masks, axis=-1),
+    }
+    key_data = np.array([7, 42], np.uint32)
+
+    buf = pack_batch_bytes(batch, key_data)
+    # round trip on host semantics first
+    ub, uk = unpack_batch_bytes(jnp.asarray(buf), 64, 4)
+    assert np.array_equal(np.asarray(uk), key_data)
+    for k in batch:
+        assert np.array_equal(np.asarray(ub[k]), batch[k]), k
+
+    losses = []
+    for mode in ("dict", "packed"):
+        own = jax.tree.map(lambda x: x.copy(), params)
+        state = TrainState.create(own, tx)
+        mesh = make_mesh(1, max_data=2)
+        step_fn, bsh, packed_fn, packed_sh = build_train_step(
+            model, mesh, tx, loss_caps=caps, state_template=state,
+            packed_shape=(64, 4),
+        )
+        state = jax.device_put(state, state_shardings(state, mesh))
+        if mode == "dict":
+            db = {k: jax.device_put(v, bsh[k]) for k, v in batch.items()}
+            _, metrics = step_fn(state, db, jnp.asarray(key_data))
+        else:
+            _, metrics = packed_fn(
+                state, jax.device_put(buf, packed_sh)
+            )
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses[0])
+    assert losses[0] == losses[1]
