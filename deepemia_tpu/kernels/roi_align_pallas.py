@@ -121,6 +121,60 @@ def _prepare_rois(
     return cls, lvl.astype(jnp.int32), wy, wx, heights, widths, geom
 
 
+def _weight_matrices(wy, wx, lh, lw, geom_ref, i, p, s, wy_cells, wx_cells):
+    """Per-RoI bilinear interpolation matrices over the VMEM window.
+
+    Returns (wy_mat [P, wy_cells], wx_mat [P, wx_cells]) in f32 — the tent
+    (bilinear) kernels with the CUDA op's clamp semantics: weight falling
+    off the LEVEL edge accumulates onto the edge cell; samples beyond
+    [-1, size] zero out. Shared by the forward sampling kernel and the
+    backward accumulation kernel — both must see byte-identical weights
+    for the custom_vjp pair to be a true adjoint.
+    """
+    sy0 = geom_ref[i, 0]
+    sx0 = geom_ref[i, 1]
+    step_y = geom_ref[i, 2]
+    step_x = geom_ref[i, 3]
+    coll_y = geom_ref[i, 4]
+    coll_x = geom_ref[i, 5]
+
+    k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
+    kf = k.astype(jnp.float32)
+    kc = (k // s).astype(jnp.float32)  # collapsed (adaptive grid of 1)
+    ky = jnp.where(coll_y > 0, kc, kf)
+    kx = jnp.where(coll_x > 0, kc, kf)
+    sy = sy0 - wy.astype(jnp.float32) + ky * step_y  # window-local cells
+    sx = sx0 - wx.astype(jnp.float32) + kx * step_x
+
+    cells_y = jax.lax.broadcasted_iota(
+        jnp.int32, (p, wy_cells), 1
+    ).astype(jnp.float32)
+    cells_x = jax.lax.broadcasted_iota(
+        jnp.int32, (p, wx_cells), 1
+    ).astype(jnp.float32)
+    fy = sy[:, None] - cells_y
+    fx = sx[:, None] - cells_x
+    wy_mat = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)  # tent = bilinear
+    wx_mat = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
+    lastf_y = jnp.minimum(lh - wy, wy_cells).astype(jnp.float32) - 1.0
+    lastf_x = jnp.minimum(lw - wx, wx_cells).astype(jnp.float32) - 1.0
+    first_y = cells_y == 0.0
+    first_x = cells_x == 0.0
+    last_y = cells_y == lastf_y
+    last_x = cells_x == lastf_x
+    wy_mat = wy_mat + first_y * jnp.clip(-sy, 0.0, 1.0)[:, None]
+    wx_mat = wx_mat + first_x * jnp.clip(-sx, 0.0, 1.0)[:, None]
+    wy_mat = wy_mat + last_y * jnp.clip(sy[:, None] - lastf_y, 0.0, 1.0)
+    wx_mat = wx_mat + last_x * jnp.clip(sx[:, None] - lastf_x, 0.0, 1.0)
+    in_y = cells_y <= lastf_y
+    in_x = cells_x <= lastf_x
+    ly = sy + wy.astype(jnp.float32)
+    lx = sx + wx.astype(jnp.float32)
+    vy = ((ly >= -1.0) & (ly <= lh.astype(jnp.float32)))[:, None]
+    vx = ((lx >= -1.0) & (lx <= lw.astype(jnp.float32)))[:, None]
+    return wy_mat * vy * in_y, (wx_mat * vx * in_x).astype(jnp.float32)
+
+
 def _kernel(
     # scalar prefetch
     cls_ref, lvl_ref, wy_ref, wx_ref, h_ref, w_ref,
@@ -195,55 +249,11 @@ def _kernel(
 
     def compute(win_ref, wy_cells, wx_cells):
         """Bilinear sampling of this RoI from its VMEM window."""
-        wy = wy_ref[i]
-        wx = wx_ref[i]
-        lh = h_ref[i]
-        lw = w_ref[i]
-        sy0 = geom_ref[i, 0]
-        sx0 = geom_ref[i, 1]
-        step_y = geom_ref[i, 2]
-        step_x = geom_ref[i, 3]
-        coll_y = geom_ref[i, 4]
-        coll_x = geom_ref[i, 5]
-
-        k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
-        kf = k.astype(jnp.float32)
-        kc = (k // s).astype(jnp.float32)  # collapsed (adaptive grid of 1)
-        ky = jnp.where(coll_y > 0, kc, kf)
-        kx = jnp.where(coll_x > 0, kc, kf)
-        sy = sy0 - wy.astype(jnp.float32) + ky * step_y  # window-local cells
-        sx = sx0 - wx.astype(jnp.float32) + kx * step_x
-
-        cells_y = jax.lax.broadcasted_iota(
-            jnp.int32, (p, wy_cells), 1
-        ).astype(jnp.float32)
-        cells_x = jax.lax.broadcasted_iota(
-            jnp.int32, (p, wx_cells), 1
-        ).astype(jnp.float32)
-        fy = sy[:, None] - cells_y
-        fx = sx[:, None] - cells_x
-        wy_mat = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)  # tent = bilinear
-        wx_mat = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
-        # CUDA-op clamp semantics: weight falling off the LEVEL edge
-        # accumulates onto the edge cell; samples beyond [-1, size] zero out
-        lastf_y = jnp.minimum(lh - wy, wy_cells).astype(jnp.float32) - 1.0
-        lastf_x = jnp.minimum(lw - wx, wx_cells).astype(jnp.float32) - 1.0
-        first_y = cells_y == 0.0
-        first_x = cells_x == 0.0
-        last_y = cells_y == lastf_y
-        last_x = cells_x == lastf_x
-        wy_mat = wy_mat + first_y * jnp.clip(-sy, 0.0, 1.0)[:, None]
-        wx_mat = wx_mat + first_x * jnp.clip(-sx, 0.0, 1.0)[:, None]
-        wy_mat = wy_mat + last_y * jnp.clip(sy[:, None] - lastf_y, 0.0, 1.0)
-        wx_mat = wx_mat + last_x * jnp.clip(sx[:, None] - lastf_x, 0.0, 1.0)
-        in_y = cells_y <= lastf_y
-        in_x = cells_x <= lastf_x
-        ly = sy + wy.astype(jnp.float32)
-        lx = sx + wx.astype(jnp.float32)
-        vy = ((ly >= -1.0) & (ly <= lh.astype(jnp.float32)))[:, None]
-        vx = ((lx >= -1.0) & (lx <= lw.astype(jnp.float32)))[:, None]
-        wy_mat = (wy_mat * vy * in_y).astype(win_ref.dtype)
-        wx_mat = (wx_mat * vx * in_x).astype(jnp.float32)
+        wy_mat, wx_mat = _weight_matrices(
+            wy_ref[i], wx_ref[i], h_ref[i], w_ref[i], geom_ref, i,
+            p, s, wy_cells, wx_cells,
+        )
+        wy_mat = wy_mat.astype(win_ref.dtype)
 
         # rows: [P, WY] x window [WY, WX, C] -> [P, WX, C] (f32 accumulate)
         rowmix = jax.lax.dot_general(
@@ -396,3 +406,221 @@ def roi_align_pallas(
         interpret=interpret,
     )(cls, lvl, wy, wx, heights, widths, geom, *padded)
     return out.reshape(n, output_size, output_size, c)
+
+
+# ---------------------------------------------------------------------------
+# Windowed backward: per-RoI read-modify-write accumulation
+#
+# The scatter-free matmul backward (models/roi_align.py:_level_grad_chunked)
+# is exact but dense: it materializes a [chunk, H, P, C] intermediate per
+# level in HBM (~58 MB/chunk at p2/512²) and runs level-extent einsums for
+# EVERY RoI at EVERY level (masked) — measured ~8 ms of the 41.5 ms train
+# step, HBM-bound. Each RoI's cotangent only touches its forward window, so
+# this kernel accumulates dW = Wyᵀ·dS·Wx windows directly into per-level
+# f32 buffers: DMA the window in, add, DMA it back. The TPU grid executes
+# sequentially, so overlapping windows never race; both DMAs are awaited
+# in-step (correctness over overlap — the windows are small).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    cls_ref, lvl_ref, wy_ref, wx_ref, h_ref, w_ref,
+    # vector inputs
+    geom_ref,  # [N, 6] f32 (VMEM)
+    g_ref,  # [1, out, out*C] VMEM block: this RoI's pooled cotangent
+    a0, a1, a2, a3,  # per-level [H, W, C] f32 accumulators (HBM, aliased)
+    o0, o1, o2, o3,  # aliased outputs of a0..a3 (same buffers)
+    # scratch
+    win_s, win_m, win_l, sem_in, sem_out,
+    *, p: int, c: int, out_size: int, s: int, q: int,
+):
+    i = pl.program_id(0)
+    outs = (o0, o1, o2, o3)
+
+    def rmw(win, wy_cells, wx_cells):
+        """win <- level[window] + dW; level[window] <- win."""
+        wy_mat, wx_mat = _weight_matrices(
+            wy_ref[i], wx_ref[i], h_ref[i], w_ref[i], geom_ref, i,
+            p, s, wy_cells, wx_cells,
+        )
+        # per-sample cotangent share: pooled mean over the s x s sub-grid
+        g = g_ref[...].reshape(out_size, out_size, c).astype(jnp.float32)
+        ds = jnp.broadcast_to(
+            g[:, None, :, None, :] / (s * s),
+            (out_size, s, out_size, s, c),
+        ).reshape(p, p, c)
+        # dW[wy, wx, c] = sum_iy sum_jx Wy[iy,wy] Wx[jx,wx] dS[iy,jx,c]
+        tmp = jax.lax.dot_general(
+            wy_mat, ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [WY, P(jx), C]
+
+        def win_slice(ref, j):
+            return ref.at[
+                pl.ds(wy_ref[j], wy_cells),
+                pl.ds(pl.multiple_of(wx_ref[j], q), wx_cells),
+                slice(None),
+            ]
+
+        # accumulate dW into the window in row chunks: a full [WY, WX, C]
+        # f32 dW for the LARGE window is 5.6 MB at C=256, which together
+        # with the window scratch overflows the 16 MB scoped-VMEM budget
+        # at the mask stage (P=28). Row-chunking keeps the live dW slice
+        # at ~2 MB; SMALL/MEDIUM fit in one chunk.
+        rows = min(wy_cells, MED_W)
+
+        def add_dw(win_ref_):
+            for r0 in range(0, wy_cells, rows):
+                nr = min(rows, wy_cells - r0)
+                dwc = jax.lax.dot_general(
+                    wx_mat, tmp[r0 : r0 + nr], (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [WX, nr, C]
+                win_ref_[r0 : r0 + nr] = win_ref_[
+                    r0 : r0 + nr
+                ] + jnp.transpose(dwc, (1, 0, 2))
+
+        for li, oref in enumerate(outs):
+            @pl.when(lvl_ref[i] == li)
+            def _(oref=oref):
+                pltpu.make_async_copy(
+                    win_slice(oref, i), win, sem_in
+                ).wait()  # issued below/in the prologue
+                add_dw(win)
+                cp = pltpu.make_async_copy(win, win_slice(oref, i), sem_out)
+                cp.start()
+                cp.wait()
+
+    def issue_in(j, win, wy_cells, wx_cells):
+        for li, oref in enumerate(outs):
+            @pl.when(lvl_ref[j] == li)
+            def _(oref=oref):
+                pltpu.make_async_copy(
+                    oref.at[
+                        pl.ds(wy_ref[j], wy_cells),
+                        pl.ds(pl.multiple_of(wx_ref[j], q), wx_cells),
+                        slice(None),
+                    ],
+                    win,
+                    sem_in,
+                ).start()
+
+    def issue_for(j):
+        @pl.when(cls_ref[j] == 0)
+        def _():
+            issue_in(j, win_s, SMALL_W, SMALL_W + q)
+
+        @pl.when(cls_ref[j] == 1)
+        def _():
+            issue_in(j, win_m, MED_W, MED_W + q)
+
+        @pl.when(cls_ref[j] == 2)
+        def _():
+            issue_in(j, win_l, LARGE_W, LARGE_W + q)
+
+    # The RMW dependency chain forces full serialization per RoI (the next
+    # read may overlap this write), so the copy-in is issued right here.
+    issue_for(i)
+
+    @pl.when(cls_ref[i] == 0)
+    def _():
+        rmw(win_s, SMALL_W, SMALL_W + q)
+
+    @pl.when(cls_ref[i] == 1)
+    def _():
+        rmw(win_m, MED_W, MED_W + q)
+
+    @pl.when(cls_ref[i] == 2)
+    def _():
+        rmw(win_l, LARGE_W, LARGE_W + q)
+
+
+def roi_align_backward_pallas(
+    g: jnp.ndarray,
+    boxes: jnp.ndarray,
+    level_shapes: Sequence,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
+    adaptive_ratio: bool = False,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """d(features) of ``roi_align_pallas`` as windowed RMW accumulation.
+
+    g [N, out, out, C] pooled cotangent, boxes [N,4] ->
+    {level: [H, W, C] float32} feature cotangents. Uses the SAME
+    _prepare_rois geometry as the forward kernel (including coarser-level
+    bumping of oversized boxes), so the pair is a true adjoint — unlike the
+    dense einsum backward, which assigns gradients at the unbumped level.
+    """
+    n, out_sz = g.shape[0], g.shape[1]
+    c = g.shape[-1]
+    p = out_sz * sampling_ratio
+    q = _align_quantum(jnp.float32)
+    strides = [STRIDES[nm] for nm in levels]
+    cls, lvl, wy, wx, heights, widths, geom = _prepare_rois(
+        boxes, list(level_shapes), strides, out_sz, sampling_ratio,
+        adaptive_ratio, q,
+    )
+
+    # zero f32 accumulators, padded so any clamped window stays in bounds
+    accs = []
+    pads = []
+    for (h, w) in level_shapes:
+        ph = max(LARGE_W - h, 0)
+        pw = max(LARGE_W + q - w, 0)
+        pads.append((ph, pw))
+        accs.append(jnp.zeros((h + ph, w + pw, c), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geom
+            pl.BlockSpec(
+                (1, out_sz, out_sz * c),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # g rows
+            pl.BlockSpec(memory_space=pltpu.ANY),  # accumulators (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SMALL_W, SMALL_W + q, c), jnp.float32),
+            pltpu.VMEM((MED_W, MED_W + q, c), jnp.float32),
+            pltpu.VMEM((LARGE_W, LARGE_W + q, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _bwd_kernel, p=p, c=c, out_size=out_sz, s=sampling_ratio, q=q
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in accs
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={8 + li: li for li in range(4)},
+        interpret=interpret,
+    )(
+        cls, lvl, wy, wx, heights, widths, geom,
+        g.reshape(n, out_sz, out_sz * c).astype(jnp.float32),
+        *accs,
+    )
+    return {
+        nm: outs[li][: level_shapes[li][0], : level_shapes[li][1], :]
+        for li, nm in enumerate(levels)
+    }

@@ -315,7 +315,7 @@ def _mra_fast_grad(
     features, boxes, output_size, sampling_ratio, levels, adaptive_ratio,
     shapes, fwd_backend,
 ):
-    if fwd_backend == "pallas":
+    if fwd_backend in ("pallas", "pallas_full"):
         from deepemia_tpu.kernels.roi_align_pallas import roi_align_pallas
 
         out = roi_align_pallas(
@@ -379,6 +379,35 @@ def _mra_fg_bwd(
     res, g,
 ):
     (boxes,) = res
+    if fwd_backend == "pallas_full":
+        # EXPERIMENTAL windowed RMW accumulation kernel: each RoI's
+        # dW = Wyᵀ·dS·Wx is added straight into its forward window — no
+        # [chunk,H,P,C] HBM intermediates, and the SAME _prepare_rois
+        # geometry as the Pallas forward (incl. coarser-level bumping),
+        # making the pair a true adjoint. NOT the default: its Mosaic
+        # compile is pathological (>20 min even in isolation at train
+        # shapes, vs ~1 min for the einsum program), and the production
+        # loop is transfer-bound, so the ~5 ms/step runtime win never
+        # reaches the recorded benchmark. Revisit if Mosaic compile of
+        # chunked in-place updates improves.
+        from deepemia_tpu.kernels.roi_align_pallas import (
+            roi_align_backward_pallas,
+        )
+
+        dfeats = roi_align_backward_pallas(
+            g,
+            boxes,
+            [sh[:2] for sh in shapes],
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            levels=levels,
+            adaptive_ratio=adaptive_ratio,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return (
+            {nm: dfeats[nm].astype(g.dtype) for nm in levels},
+            jnp.zeros_like(boxes),
+        )
     n = boxes.shape[0]
     s = sampling_ratio
     p = output_size * s
@@ -485,16 +514,20 @@ def roi_align_dispatch(
     """
     import jax as _jax
 
-    if backend in ("xla_fast_grad", "pallas_fast_grad"):
+    if backend in ("xla_fast_grad", "pallas_fast_grad", "pallas_full_fast_grad"):
         fwd = "xla"
-        if backend == "pallas_fast_grad":
+        if backend != "xla_fast_grad":
             # same size guard as the inference pallas path below
             p2 = features[min(features, key=lambda k: STRIDES.get(k, 99))]
             extent = max(p2.shape[0], p2.shape[1]) * min(
                 STRIDES[k] for k in features if k in STRIDES
             )
             if extent <= _PALLAS_MAX_IMAGE:
-                fwd = "pallas"
+                fwd = (
+                    "pallas_full"
+                    if backend == "pallas_full_fast_grad"
+                    else "pallas"
+                )
         return multilevel_roi_align_fast_grad(
             features,
             boxes,

@@ -88,6 +88,60 @@ def test_pallas_fast_grad_backend(pyramid):
         )
 
 
+def test_pallas_backward_kernel_matches_einsum(pyramid):
+    """The EXPERIMENTAL windowed RMW backward kernel
+    (roi_align_backward_pallas, backend 'pallas_full_fast_grad') reproduces
+    the dense einsum backward for un-bumped boxes, including off-edge and
+    sub-pixel geometry, and works under vmap (the train step vmaps the
+    heads over the batch). Not the production default: its Mosaic compile
+    at train shapes is >20 min (see models/roi_align.py:_mra_fg_bwd)."""
+    from deepemia_tpu.models.roi_align import roi_align_dispatch
+
+    boxes = jnp.asarray(
+        [
+            [4.0, 4.0, 40.0, 40.0],
+            [10.0, 20.0, 150.0, 180.0],
+            [-5.0, -3.0, 30.0, 28.0],
+            [0.0, 0.0, 250.0, 240.0],
+            [33.3, 21.7, 34.1, 22.2],
+        ]
+    )
+
+    def loss(f, backend):
+        out = roi_align_dispatch(
+            f, boxes, output_size=7, adaptive_ratio=True, backend=backend
+        )
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) * 1e-3
+        return (out.astype(jnp.float32) * w).sum()
+
+    g1 = jax.grad(lambda f: loss(f, "xla_fast_grad"))(pyramid)
+    g2 = jax.grad(lambda f: loss(f, "pallas_full_fast_grad"))(pyramid)
+    for k in pyramid:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        tol = 1e-4 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=k)
+
+    # vmapped (batch) path
+    fb = {k: jnp.stack([v, v * 0.5]) for k, v in pyramid.items()}
+    bb = jnp.stack([boxes, boxes + 3.0])
+
+    def batch_loss(f, backend):
+        def one(fl, bx):
+            out = roi_align_dispatch(
+                fl, bx, output_size=7, adaptive_ratio=True, backend=backend
+            )
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        return jax.vmap(one)(f, bb).sum()
+
+    gv1 = jax.grad(lambda f: batch_loss(f, "xla_fast_grad"))(fb)
+    gv2 = jax.grad(lambda f: batch_loss(f, "pallas_full_fast_grad"))(fb)
+    for k in fb:
+        a, b = np.asarray(gv1[k]), np.asarray(gv2[k])
+        tol = 1e-4 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=k)
+
+
 def test_pallas_fast_grad_size_guard():
     """Feature maps implying boxes beyond the Pallas LARGE-window coverage
     route the forward back to the XLA gather (ADVICE r2 guard, extended to
