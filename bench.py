@@ -345,7 +345,17 @@ def main() -> None:
         "--all", action="store_true",
         help="(kept for compatibility; every config already runs by default)",
     )
-    args = ap.parse_args()  # noqa: F841
+    ap.add_argument(
+        "--only", choices=["train"], default=None,
+        help="run a single config (used by the bounded-subprocess guard)",
+    )
+    ap.add_argument(
+        "--train-budget-s", type=float, default=2700.0,
+        help="wall budget for the train-step config (its first-ever "
+        "compile is 15-25 min on v5e; a cold cache must not starve the "
+        "headline tile-throughput line, which the driver reads LAST)",
+    )
+    args = ap.parse_args()
 
     import os
 
@@ -363,6 +373,10 @@ def main() -> None:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.only == "train":
+        print(json.dumps(bench_train_step(jax, jnp)), flush=True)
+        return
+
     # end-to-end first; the headline LAST (driver parses the last line).
     # All BASELINE.md configs print by default so every round's BENCH
     # artifact records the full trend (VERDICT r2 weak #8).
@@ -373,7 +387,34 @@ def main() -> None:
     )
     print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
     print(json.dumps(bench_multiscale_iterative(jax, jnp)), flush=True)
-    print(json.dumps(bench_train_step(jax, jnp)), flush=True)
+    # the train-step config runs in a BOUNDED subprocess: its compile is the
+    # longest in the suite, and the one real TPU chip is behind a tunnel
+    # whose compiles occasionally wedge — the headline line must still print
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", "train"],
+            capture_output=True,
+            text=True,
+            timeout=args.train_budget_s,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if out.returncode != 0:
+            print(
+                f"train-step config failed (rc={out.returncode}): "
+                + out.stderr.strip().splitlines()[-1][:200],
+                file=sys.stderr,
+            )
+    except subprocess.TimeoutExpired:
+        print(
+            f"train-step config skipped: exceeded {args.train_budget_s:.0f}s "
+            "budget (cold-cache compile); rerun `bench.py --only train`",
+            file=sys.stderr,
+        )
     print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
 
 
