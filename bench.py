@@ -362,6 +362,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Honor an explicit CPU request: the axon sitecustomize force-registers
+    # the tunneled TPU backend and overrides JAX_PLATFORMS, so a plain env
+    # var is not enough (same dance as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # XLA compiles (first run per machine still pays them)
     cache = os.environ.get(
@@ -377,19 +386,12 @@ def main() -> None:
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
         return
 
-    # end-to-end first; the headline LAST (driver parses the last line).
-    # All BASELINE.md configs print by default so every round's BENCH
-    # artifact records the full trend (VERDICT r2 weak #8).
-    print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
-    print(
-        json.dumps(bench_tile_pipeline_4k(jax, jnp, upscale=1.0, suffix="_native")),
-        flush=True,
-    )
-    print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
-    print(json.dumps(bench_multiscale_iterative(jax, jnp)), flush=True)
-    # the train-step config runs in a BOUNDED subprocess: its compile is the
-    # longest in the suite, and the one real TPU chip is behind a tunnel
-    # whose compiles occasionally wedge — the headline line must still print
+    # The train-step config runs FIRST, in a BOUNDED subprocess: its compile
+    # is the longest in the suite, and the one real TPU chip is behind a
+    # tunnel whose compiles occasionally wedge — the headline line (which
+    # the driver reads LAST) must still print. Running it before any parent
+    # bench also means the parent has not initialized its own TPU backend
+    # yet, so the two processes never contend for the single chip.
     import subprocess
     import sys
 
@@ -404,9 +406,10 @@ def main() -> None:
             if line.startswith("{"):
                 print(line, flush=True)
         if out.returncode != 0:
+            err_lines = out.stderr.strip().splitlines() or ["<no stderr>"]
             print(
                 f"train-step config failed (rc={out.returncode}): "
-                + out.stderr.strip().splitlines()[-1][:200],
+                + err_lines[-1][:200],
                 file=sys.stderr,
             )
     except subprocess.TimeoutExpired:
@@ -415,6 +418,17 @@ def main() -> None:
             "budget (cold-cache compile); rerun `bench.py --only train`",
             file=sys.stderr,
         )
+
+    # end-to-end next; the headline LAST (driver parses the last line).
+    # All BASELINE.md configs print by default so every round's BENCH
+    # artifact records the full trend (VERDICT r2 weak #8).
+    print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
+    print(
+        json.dumps(bench_tile_pipeline_4k(jax, jnp, upscale=1.0, suffix="_native")),
+        flush=True,
+    )
+    print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
+    print(json.dumps(bench_multiscale_iterative(jax, jnp)), flush=True)
     print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from typing import Dict, Iterator, List, Optional
 
 import cv2
@@ -215,12 +216,18 @@ class TrainLoader:
             batch = {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]
             }
-            try:
-                self._q.put(batch, timeout=1.0)
-            except queue.Full:
-                if self._stop.is_set():
-                    return
-                self._q.put(batch)
+            # bounded-wait put loop: an UNtimed put here can park this
+            # thread forever if close() races the stop check — with
+            # workers>=2, close() used to unblock only one producer and
+            # leak the rest (plus their multi-MB batches) for the life of
+            # the process (one leak per train() call under HPO)
+            while True:
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        return
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
@@ -233,7 +240,13 @@ class TrainLoader:
 
     def close(self):
         self._stop.set()
-        try:
-            self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain so producers parked in put() see a free slot quickly, then
+        # join each worker (their timed-put loop re-checks _stop <=0.5s)
+        deadline = time.time() + 5.0
+        for t in self._threads:
+            while t.is_alive() and time.time() < deadline:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.05)

@@ -50,7 +50,14 @@ BASELINE_SCALES = (0.7, 1.0, 1.5, 2.0)
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _resize_cached(image, shape):
-    return jax.image.resize(image.astype(jnp.float32), shape, "linear")
+    # antialias=False: plain bilinear taps, matching the host path's
+    # cv2.resize(INTER_LINEAR) (both use half-pixel centers) — the default
+    # antialias=True widens the filter on downscales, so the same image
+    # would yield different pixels (hence detections) depending only on
+    # whether the caller passed a numpy or a jax array
+    return jax.image.resize(
+        image.astype(jnp.float32), shape, "linear", antialias=False
+    )
 
 
 def _device_resize(image, nh: int, nw: int):

@@ -63,9 +63,10 @@ def scale_line_candidates(
     """All near-horizontal bright runs in the ROI, with per-run statistics.
 
     Each candidate dict has ``row``, ``x_start``, ``length`` (px) and
-    ``intensity`` (mean gray level along the run, 3-row band — the analog of
-    the reference's mean-intensity-along-line check with a 2-px-thick line
-    mask, scalebar_ocr.py:246-249). Gap-tolerant run detection: a column
+    ``intensity`` (brightest per-row mean gray level along the run within
+    the 3-row band — the analog of the reference's mean-intensity-along-line
+    check with a 2-px-thick line mask, scalebar_ocr.py:246-249; a per-band
+    mean would under-score bars thinner than the band). Gap-tolerant run detection: a column
     belongs to a run if any pixel in a 3-row band is bright; gaps up to
     ``merge_gap`` columns are bridged (the reference achieves the same via
     Hough + merge_collinear_segments with the same ``merge_gap``).
@@ -102,12 +103,20 @@ def scale_line_candidates(
                 continue
             x0 = int(idx[s])
             seg = grayf[r0:r1, x0 : x0 + int(ln)]
+            # intensity = the BRIGHTEST row's mean within the band: a
+            # 1-px-thick bar (230 on ~20 background) averaged over all 3
+            # band rows scores (230+2*20)/3 ~= 90 and would fail the
+            # default threshold 100 even though the bar is plainly bright;
+            # the reference's 2-px line mask passes it. Per-row means keep
+            # dim texture streaks (<threshold in every row) rejected.
             out.append(
                 {
                     "row": row,
                     "x_start": x0,
                     "length": int(ln),
-                    "intensity": float(seg.mean()) if seg.size else 0.0,
+                    "intensity": (
+                        float(seg.mean(axis=1).max()) if seg.size else 0.0
+                    ),
                 }
             )
     return out

@@ -140,10 +140,18 @@ def _sample_geometry(
     output_size: int,
     sampling_ratio: int,
     adaptive_ratio: bool,
+    fit_cells: float | None = None,
 ) -> _SampleGeometry:
     """Sample positions/corners/weights for every ROI at its assigned level
     (shared by the gather forward and the matmul backward — both must see
-    byte-identical geometry)."""
+    byte-identical geometry).
+
+    ``fit_cells``: when set, replicate the Pallas kernel's level bumping
+    (kernels/roi_align_pallas.py:_prepare_rois): any box whose longest side
+    exceeds ``stride * fit_cells`` at its sqrt-area level is bumped to the
+    coarsest level that fits. The matmul backward paired with the Pallas
+    FORWARD must pass this, or gradients for elongated boxes (bumped by the
+    forward, unbumped here) would deposit into the wrong pyramid level."""
     s = sampling_ratio
     p = output_size * s
     offsets = np.concatenate([[0], np.cumsum(heights * widths)[:-1]]).astype(
@@ -151,6 +159,17 @@ def _sample_geometry(
     )
 
     lvl = assign_fpn_levels(boxes, 2, 2 + len(heights) - 1) - 2  # [N] 0-based
+    if fit_cells is not None:
+        # byte-identical to _prepare_rois' bump rule
+        max_px = jnp.maximum(
+            boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+        )
+        lvl_fit = jnp.ceil(
+            jnp.log2(
+                jnp.maximum(max_px / (float(strides[0]) * fit_cells), 1e-6)
+            )
+        ).astype(jnp.int32)
+        lvl = jnp.clip(jnp.maximum(lvl, lvl_fit), 0, len(strides) - 1)
     stride = jnp.asarray(strides)[lvl]  # [N]
     lh = jnp.asarray(heights)[lvl]
     lw = jnp.asarray(widths)[lvl]
@@ -415,8 +434,16 @@ def _mra_fg_bwd(
     heights = np.array([sh[0] for sh in shapes], np.int32)
     widths = np.array([sh[1] for sh in shapes], np.int32)
     strides = np.array([STRIDES[nm] for nm in levels], np.float32)
+    fit_cells = None
+    if fwd_backend == "pallas":
+        # the Pallas forward bumps oversized boxes to coarser levels; the
+        # backward must mirror that or it is not the forward's adjoint
+        from deepemia_tpu.kernels.roi_align_pallas import LARGE_W
+
+        fit_cells = float(LARGE_W - 2)
     geom = _sample_geometry(
-        boxes, heights, widths, strides, output_size, s, adaptive_ratio
+        boxes, heights, widths, strides, output_size, s, adaptive_ratio,
+        fit_cells=fit_cells,
     )
 
     # per-sample cotangent share: every sub-sample of bin (i,j) gets g/s²
@@ -473,9 +500,12 @@ def multilevel_roi_align_fast_grad(
     """
     levels = tuple(nm for nm in levels if nm in features)
     shapes = tuple(tuple(int(d) for d in features[nm].shape) for nm in levels)
+    # pass ONLY the pooled levels as the differentiated input: the backward
+    # returns cotangents keyed by `levels`, so an extra entry (p6 from
+    # MaskRCNN.features()) would be a custom_vjp pytree mismatch under grad
     return _mra_fast_grad(
-        dict(features), boxes, output_size, sampling_ratio, levels,
-        adaptive_ratio, shapes, fwd_backend,
+        {nm: features[nm] for nm in levels}, boxes, output_size,
+        sampling_ratio, levels, adaptive_ratio, shapes, fwd_backend,
     )
 
 
@@ -485,6 +515,16 @@ def multilevel_roi_align_fast_grad(
 # oversized boxes to coarser levels but cannot bump past p5). Images that
 # could contain bigger boxes fall back to the XLA gather in dispatch.
 _PALLAS_MAX_IMAGE = 70 * 32
+
+
+def _pallas_image_extent(features: Dict[str, jnp.ndarray]) -> int:
+    """Largest box extent (px) the feature shapes allow — the finest level's
+    spatial size times its stride. Compared against _PALLAS_MAX_IMAGE to
+    decide whether the Pallas kernel's LARGE window can cover every box."""
+    finest = features[min(features, key=lambda k: STRIDES.get(k, 99))]
+    return max(finest.shape[0], finest.shape[1]) * min(
+        STRIDES[k] for k in features if k in STRIDES
+    )
 
 
 def roi_align_dispatch(
@@ -518,11 +558,7 @@ def roi_align_dispatch(
         fwd = "xla"
         if backend != "xla_fast_grad":
             # same size guard as the inference pallas path below
-            p2 = features[min(features, key=lambda k: STRIDES.get(k, 99))]
-            extent = max(p2.shape[0], p2.shape[1]) * min(
-                STRIDES[k] for k in features if k in STRIDES
-            )
-            if extent <= _PALLAS_MAX_IMAGE:
+            if _pallas_image_extent(features) <= _PALLAS_MAX_IMAGE:
                 fwd = (
                     "pallas_full"
                     if backend == "pallas_full_fast_grad"
@@ -544,11 +580,7 @@ def roi_align_dispatch(
         # bigger box would silently lose sample contributions outside the
         # window. Feature shapes bound the largest possible box, so route
         # oversized images to the exact gather.
-        p2 = features[min(features, key=lambda k: STRIDES.get(k, 99))]
-        image_extent = max(p2.shape[0], p2.shape[1]) * min(
-            STRIDES[k] for k in features if k in STRIDES
-        )
-        if image_extent > _PALLAS_MAX_IMAGE:
+        if _pallas_image_extent(features) > _PALLAS_MAX_IMAGE:
             use_pallas = False
     if use_pallas:
         from deepemia_tpu.kernels.roi_align_pallas import roi_align_pallas

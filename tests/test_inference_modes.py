@@ -288,3 +288,26 @@ def test_split_serving_matches_fused(tiny_r50):
     np.testing.assert_array_equal(
         np.asarray(inst_f.classes)[vf], np.asarray(inst_s.classes)[vs]
     )
+
+
+def test_device_resize_matches_host_cv2():
+    """The multiscale device resize (jax.image.resize, antialias=False) must
+    reproduce the host path's cv2.resize(INTER_LINEAR) — with the default
+    antialias=True, downscales produced different pixels (hence different
+    detections) depending only on whether the caller passed a numpy or a
+    jax array."""
+    import cv2
+
+    from deepemia_tpu.inference.multiscale import _device_resize
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    for nh, nw in [(128, 128), (192, 320), (512, 384)]:
+        host = cv2.resize(
+            img, (nw, nh), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32)
+        dev = np.asarray(
+            _device_resize(jnp.asarray(img.astype(np.float32)), nh, nw)
+        )
+        # cv2 rounds through uint8 + fixed-point interp: <1 gray level
+        assert np.abs(host - dev).max() < 1.0, (nh, nw)

@@ -142,6 +142,68 @@ def test_pallas_backward_kernel_matches_einsum(pyramid):
         np.testing.assert_allclose(b, a, atol=tol, err_msg=k)
 
 
+def test_pallas_fast_grad_bumped_box_adjoint(pyramid):
+    """The matmul backward must be the exact adjoint of the PALLAS forward
+    even for boxes the kernel bumps to a coarser level (long side beyond
+    the LARGE-window coverage at the sqrt-area level). RoIAlign is linear
+    in features, so <g, F(x)> == <F*(g), x> must hold exactly; before the
+    fit_cells mirror in _sample_geometry, the backward deposited bumped
+    boxes' cotangents into the UNBUMPED level and this identity broke."""
+    from deepemia_tpu.models.roi_align import roi_align_dispatch
+
+    boxes = jnp.asarray(
+        [
+            [40.0, 40.0, 120.0, 100.0],  # small, un-bumped -> p2
+            [0.0, 100.0, 900.0, 140.0],  # 900x40: p3 by sqrt-area, bumped p4
+            [100.0, 0.0, 150.0, 700.0],  # 50x700: p3 by sqrt-area, bumped p4
+        ],
+        jnp.float32,
+    )
+
+    def fwd(f):
+        return roi_align_dispatch(
+            f, boxes, output_size=7, adaptive_ratio=True,
+            backend="pallas_fast_grad",
+        )
+
+    out, vjp = jax.vjp(fwd, pyramid)
+    rng_l = np.random.default_rng(7)
+    g = jnp.asarray(rng_l.standard_normal(out.shape).astype(np.float32))
+    (df,) = vjp(g)
+    lhs = float((out.astype(jnp.float32) * g).sum())
+    rhs = float(
+        sum(
+            (df[k].astype(jnp.float32) * pyramid[k]).sum() for k in pyramid
+        )
+    )
+    assert abs(lhs - rhs) <= 1e-3 * max(1.0, abs(lhs)), (lhs, rhs)
+    # and the bumped boxes must actually put gradient into their bumped
+    # level (p4), not their sqrt-area level alone
+    assert float(jnp.abs(df["p4"]).sum()) > 0.0
+
+
+def test_fast_grad_tolerates_extra_feature_levels(pyramid, rng):
+    """Differentiating through the fast-grad path with a features dict that
+    carries a non-pooled level (p6 from MaskRCNN.features()) must work —
+    the custom_vjp is built over the pooled levels only, and the extra
+    entry gets a zero cotangent from JAX."""
+    from deepemia_tpu.models.roi_align import roi_align_dispatch
+
+    feats = dict(pyramid)
+    feats["p6"] = jnp.asarray(rng.random((16, 16, 128)).astype(np.float32))
+    boxes = jnp.asarray([[40.0, 40.0, 120.0, 100.0]], jnp.float32)
+
+    for backend in ("xla_fast_grad", "pallas_fast_grad"):
+        g = jax.grad(
+            lambda f: roi_align_dispatch(
+                f, boxes, output_size=7, backend=backend
+            ).astype(jnp.float32).sum()
+        )(feats)
+        assert set(g) == set(feats)
+        assert float(jnp.abs(g["p6"]).sum()) == 0.0
+        assert float(jnp.abs(g["p2"]).sum()) > 0.0
+
+
 def test_pallas_fast_grad_size_guard():
     """Feature maps implying boxes beyond the Pallas LARGE-window coverage
     route the forward back to the XLA gather (ADVICE r2 guard, extended to

@@ -92,6 +92,30 @@ def test_multiworker_loader_batches(tmp_path):
         loader.close()
 
 
+def test_loader_close_joins_all_workers(tmp_path):
+    """close() must terminate EVERY producer thread, including ones parked
+    in a blocking put on the full queue — with workers>=2 the old
+    one-slot-drain close left all but one worker blocked forever, leaking a
+    thread + multi-MB batch per train() call (one per HPO trial)."""
+    import time as _time
+
+    from deepemia_tpu.data.loader import TrainLoader
+
+    recs = [_rect_record(tmp_path)]
+    loader = TrainLoader(
+        recs, batch_size=2, train_size=128, max_instances=4, workers=3,
+        seed=3, prefetch=1,
+    )
+    # let every producer assemble a batch and park in the put loop
+    next(iter(loader))
+    _time.sleep(1.0)
+    loader.close()
+    deadline = _time.time() + 10.0
+    while any(t.is_alive() for t in loader._threads):
+        assert _time.time() < deadline, "producer thread leaked after close()"
+        _time.sleep(0.05)
+
+
 def test_single_worker_deterministic(tmp_path):
     """workers=1 with a fixed seed reproduces the exact batch stream."""
     from deepemia_tpu.data.loader import TrainLoader

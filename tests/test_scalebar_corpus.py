@@ -221,6 +221,27 @@ def test_scalebar_distractors(kind):
     assert hits / len(cases) >= 0.95, f"{kind}: {hits}/{len(cases)} correct"
 
 
+@pytest.mark.parametrize("thickness", [1, 2])
+def test_scalebar_thin_bar_detected(thickness):
+    """1-2 px thick bars (common in SEM annotation styles) must pass the
+    intensity filter: the run score is the BRIGHTEST row's mean within the
+    3-row band — a band-wide mean would score a 1-px 230-on-20 bar at ~90,
+    below the default threshold 100, and silently fall back to pixel
+    units."""
+    img = np.full((90, 420), 20, np.uint8)
+    cv2.putText(
+        img, "2 um", (140, 30), cv2.FONT_HERSHEY_SIMPLEX, 20 / 22.0, 230, 2,
+        cv2.LINE_AA,
+    )
+    img[60 : 60 + thickness, 110 : 110 + BAR_LEN] = 230
+    psum, um_pix = detect_scale_bar(
+        cv2.cvtColor(img, cv2.COLOR_GRAY2BGR), CFG
+    )
+    expected = 2.0 / BAR_LEN
+    assert psum != "0"
+    assert abs(um_pix - expected) <= 0.02 * expected
+
+
 def test_proximity_rejects_far_line_even_without_true_bar():
     """With only a far distractor line present, detection must fall back to
     ("0", 1.0) rather than calibrate off the distractor."""
