@@ -279,8 +279,9 @@ def bench_train_step(jax, jnp):
     tx = make_optimizer(2.5e-4, 1000, 100, params=params)
     state = TrainState.create(params, tx)
     mesh = make_mesh(1)
-    _, _, packed_fn, packed_sh = build_train_step(
-        model, mesh, tx, state_template=state, packed_shape=(512, 16)
+    _, _, packed_fn, packed_sh, chunk_fn, chunk_sh = build_train_step(
+        model, mesh, tx, state_template=state, packed_shape=(512, 16),
+        with_chunks=True,
     )
     state = jax.device_put(state, state_shardings(state, mesh))
 
@@ -304,30 +305,35 @@ def bench_train_step(jax, jnp):
         "gt_masks": np.packbits(masks, axis=-1),
     }
 
-    # sustained pattern = the trainer loop: the whole batch + per-step
-    # [seed, step] key cross the link as ONE pack_batch_bytes buffer,
-    # double-buffered against the async step dispatch; sync only at the
-    # end (a per-step _sync measures tunnel round-trip latency, not
-    # training throughput — 8.6 vs ~200 steps/s on the same program)
+    # sustained pattern = the trainer loop (steps_per_dispatch=8 default):
+    # K packed batches + per-step [seed, step] keys cross the link as ONE
+    # [K,B,L] buffer feeding a lax.scan of the step, double-buffered
+    # against the async dispatch; sync only at the end (a per-step _sync
+    # measures tunnel round-trip latency, not training throughput)
     from deepemia_tpu.train.trainer import pack_batch_bytes
 
-    def put(hb, i):
-        key = np.array([0, i], np.uint32)
-        return jax.device_put(pack_batch_bytes(hb, key), packed_sh)
+    K = 8
 
-    pending = put(host_batch, 0)
-    for i in range(3):  # compile + warm
-        state, m = packed_fn(state, pending)
-        pending = put(host_batch, i + 1)
-    _sync(m["total"])
+    def put_chunk(i0):
+        rows = [
+            pack_batch_bytes(host_batch, np.array([0, i0 + j], np.uint32))
+            for j in range(K)
+        ]
+        return jax.device_put(np.stack(rows), chunk_sh)
+
+    pending = put_chunk(0)
+    for i in range(2):  # compile + warm
+        state, m = chunk_fn(state, pending)
+        pending = put_chunk((i + 1) * K)
+    _sync(m["total"][-1])
     t0 = time.perf_counter()
-    n = 30
-    for i in range(n):
-        state, m = packed_fn(state, pending)
-        if i + 1 < n:
-            pending = put(host_batch, i)
-    _sync(m["total"])
-    per = (time.perf_counter() - t0) / n
+    n_chunks = 6
+    for i in range(n_chunks):
+        state, m = chunk_fn(state, pending)
+        if i + 1 < n_chunks:
+            pending = put_chunk((i + 3) * K)
+    _sync(m["total"][-1])
+    per = (time.perf_counter() - t0) / (n_chunks * K)
     # reference: ~30 min/epoch on L4. With the auto schedule (100-200
     # iters/image) an epoch-equivalent is ~1 iter/image; use the ETA
     # telemetry figure 1800 s/train ~= 10k iters -> 0.18 s/iter baseline.

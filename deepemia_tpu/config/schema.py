@@ -185,6 +185,10 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             # RoIAlign backend for the differentiated heads: 'auto' =
             # Pallas forward + matmul backward on TPU, XLA gather elsewhere
             "roi_backend": Field(types=str, default="auto"),
+            # train steps per device dispatch (lax.scan over K packed
+            # batches in one transfer; identical math/random streams,
+            # 1/K the host round trips). 1 = dispatch every step.
+            "steps_per_dispatch": Field(types=int, default=8),
         }
     ),
     "performance": _mapping(

@@ -289,6 +289,7 @@ def build_train_step(
     loss_caps: Optional[dict] = None,
     state_template: Optional[TrainState] = None,
     packed_shape: Optional[Tuple[int, int]] = None,
+    with_chunks: bool = False,
 ):
     """jit-compiled sharded train step: (state, batch, rng) -> (state, metrics).
 
@@ -299,6 +300,16 @@ def build_train_step(
     step ``(state, buf [B,L] uint8) -> (state, metrics)`` consuming
     ``pack_batch_bytes`` rows (batch + key in one transfer). Returns
     ``(step_fn, batch_shardings, packed_fn, packed_sharding)`` then.
+
+    ``with_chunks=True`` (requires ``packed_shape``): ALSO return a
+    multi-step program ``(state, bufs [K,B,L]) -> (state, metrics [K])``
+    that lax.scans the SAME step over K packed batches — byte-identical
+    math and [seed, step] key streams, but one dispatch + one transfer per
+    K steps instead of per step. On a tunneled device the per-step host
+    round trip is what separates the ~17.7 steps/s production rate from
+    the 24.1 steps/s device-resident rate. Returns
+    ``(step_fn, batch_shardings, packed_fn, packed_sharding, chunk_fn,
+    chunk_sharding)`` then.
     """
     caps = loss_caps or {}
 
@@ -371,7 +382,47 @@ def build_train_step(
         )
     else:
         packed_fn = jax.jit(step_packed, donate_argnums=(0,))
-    return fn, batch_shardings, packed_fn, packed_sharding
+    if not with_chunks:
+        return fn, batch_shardings, packed_fn, packed_sharding
+
+    def step_chunk(state: TrainState, bufs):
+        def body(st, buf):
+            batch, key = unpack_batch_bytes(buf, ts, gmax)
+            return step(st, batch, key)
+
+        return jax.lax.scan(body, state, bufs)
+
+    # the step axis (K) is unsharded; each [B,L] slice keeps the data split
+    chunk_sharding = NamedSharding(mesh, P(None, "data"))
+    if state_template is not None:
+        chunk_fn = jax.jit(
+            step_chunk,
+            in_shardings=(st_sh, chunk_sharding),
+            out_shardings=(st_sh, repl),
+            donate_argnums=(0,),
+        )
+    else:
+        chunk_fn = jax.jit(step_chunk, donate_argnums=(0,))
+    return (
+        fn,
+        batch_shardings,
+        packed_fn,
+        packed_sharding,
+        chunk_fn,
+        chunk_sharding,
+    )
+
+
+def dispatch_chunk_end(
+    i: int, k: int, max_iter: int, checkpoint_every: int
+) -> int:
+    """End (exclusive) of the dispatch chunk starting at step ``i``.
+
+    Chunks never cross a checkpoint boundary or ``max_iter``, so the set of
+    reachable checkpoint/resume points is identical to single-step
+    execution regardless of ``k`` (``steps_per_dispatch``)."""
+    nxt_ckpt = ((i // checkpoint_every) + 1) * checkpoint_every
+    return min(i + k, max_iter, nxt_ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +448,14 @@ class TrainConfig:
     # data-loader producer threads (reference DATALOADER.NUM_WORKERS);
     # 1 = deterministic batch order
     loader_workers: int = 2
+    # train steps executed per device dispatch (lax.scan over K packed
+    # batches shipped as one [K,B,L] transfer). Byte-identical math and
+    # random streams to K single steps; only the dispatch granularity
+    # changes. On a tunneled/remote device the per-step round trip
+    # otherwise caps the loop well below the device-resident step rate.
+    # Chunks never cross checkpoint boundaries (remainders run the
+    # single-step program), so resume points are unchanged. 1 = off.
+    steps_per_dispatch: int = 8
     augment: bool = False
     checkpoint_every: int = 1000
     log_every: int = 20
@@ -537,13 +596,21 @@ def train(
     )
     state = TrainState.create(params, tx)
     mesh = make_mesh(cfg.n_model_shards, max_data=cfg.ims_per_batch)
-    step_fn, batch_shardings, packed_fn, packed_sharding = build_train_step(
+    (
+        step_fn,
+        batch_shardings,
+        packed_fn,
+        packed_sharding,
+        chunk_fn,
+        chunk_sharding,
+    ) = build_train_step(
         model,
         mesh,
         tx,
         cfg.loss_caps,
         state_template=state,
         packed_shape=(cfg.train_size, cfg.max_instances),
+        with_chunks=True,
     )
     # place the state under its sharding (TP leaves split over 'model')
     state = jax.device_put(state, state_shardings(state, mesh))
@@ -597,38 +664,57 @@ def train(
         # per step and was never resume-stable).
         loader_iter = iter(loader)
         seed32 = np.uint32(cfg.seed & 0xFFFFFFFF)
+        k = max(1, int(cfg.steps_per_dispatch))
 
-        def put(b, i):
-            key_data = np.array(
-                [seed32, np.uint32(i & 0xFFFFFFFF)], np.uint32
-            )
-            return jax.device_put(
-                pack_batch_bytes(b, key_data), packed_sharding
-            )
+        def chunk_end(i: int) -> int:
+            return dispatch_chunk_end(i, k, max_iter, cfg.checkpoint_every)
 
-        pending = (
-            put(next(loader_iter), start_step)
-            if start_step < max_iter
-            else None
-        )
+        def put_chunk(i: int):
+            """Pack the batches for steps [i, chunk_end(i)) and transfer
+            them as ONE buffer. Full K-sized chunks feed the scanned
+            multi-step program; remainders feed the single-step program."""
+            e = chunk_end(i)
+            rows = []
+            for j in range(i, e):
+                key_data = np.array(
+                    [seed32, np.uint32(j & 0xFFFFFFFF)], np.uint32
+                )
+                rows.append(pack_batch_bytes(next(loader_iter), key_data))
+            if e - i == k and k > 1:
+                return e, "chunk", jax.device_put(
+                    np.stack(rows), chunk_sharding
+                )
+            return e, "steps", [
+                jax.device_put(r, packed_sharding) for r in rows
+            ]
+
+        pending = put_chunk(start_step) if start_step < max_iter else None
         lagged = None  # (step, device metrics) awaiting a stall-free log
-        for i in range(start_step, max_iter):
-            state, m = packed_fn(state, pending)
-            if i + 1 < max_iter:
-                pending = put(next(loader_iter), i + 1)
-            if (i + 1) % cfg.log_every == 0 or i + 1 == max_iter:
+        i = start_step
+        while i < max_iter:
+            e, kind, payload = pending
+            if kind == "chunk":
+                state, m = chunk_fn(state, payload)
+                # metrics come back stacked [K]; keep the chunk's last step
+                m = jax.tree.map(lambda v: v[-1], m)
+            else:
+                for buf in payload:
+                    state, m = packed_fn(state, buf)
+            if e < max_iter:
+                pending = put_chunk(e)
+            if (e // cfg.log_every) > (i // cfg.log_every) or e == max_iter:
                 # log the PREVIOUS interval's metrics (those device values
                 # materialized long ago, so float() returns immediately);
                 # converting the just-dispatched step's metrics would drain
                 # the whole dispatch pipeline every interval. The final
                 # step converts its own metrics — that sync is the natural
                 # end-of-training barrier.
-                if i + 1 == max_iter:
-                    lagged = (i + 1, m)
+                if e == max_iter:
+                    lagged = (e, m)
                 if lagged is not None:
                     at_step, lm = lagged
-                    metrics = {k: float(v) for k, v in lm.items()}
-                    rate = (i + 1 - start_step) / (time.time() - t0)
+                    metrics = {k_: float(v) for k_, v in lm.items()}
+                    rate = (e - start_step) / (time.time() - t0)
                     log.info(
                         "step %d/%d loss %.4f (rpn %.3f/%.3f cls %.3f box "
                         "%.3f mask %.3f) %.2f it/s",
@@ -642,14 +728,15 @@ def train(
                         metrics["mask"],
                         rate,
                     )
-                lagged = (i + 1, m)
-            if (i + 1) % cfg.checkpoint_every == 0 or i + 1 == max_iter:
+                lagged = (e, m)
+            if e % cfg.checkpoint_every == 0 or e == max_iter:
                 mngr.save(
-                    i + 1,
+                    e,
                     args=ocp.args.StandardSave(
                         {"params": state.params, "opt_state": state.opt_state}
                     ),
                 )
+            i = e
     finally:
         loader.close()
     mngr.wait_until_finished()

@@ -196,6 +196,9 @@ def train_on_dataset(
             max_instances=int(train_cfg_section.get("max_instances", 64)),
             loader_workers=int(train_cfg_section.get("loader_workers", 2)),
             roi_backend=str(train_cfg_section.get("roi_backend", "auto")),
+            steps_per_dispatch=int(
+                train_cfg_section.get("steps_per_dispatch", 8)
+            ),
             use_bf16=use_bf16,
             init_checkpoint=pretrained or None,
             grad_clip_norm=float(train_cfg_section.get("grad_clip_norm", 0))

@@ -213,3 +213,110 @@ def test_packed_wire_step_equivalence(tiny_r50):
         losses.append(float(metrics["total"]))
     assert np.isfinite(losses[0])
     assert losses[0] == losses[1]
+
+
+def test_chunked_dispatch_equivalence(tiny_r50):
+    """steps_per_dispatch: one lax.scan over K packed batches must produce
+    the same training trajectory as K single-step dispatches — same batch
+    and key streams, same step counts; only the dispatch granularity
+    changes (the trainer uses chunks to amortize the per-step host round
+    trip on tunneled devices; chunks never cross checkpoint boundaries).
+    Tolerances are tight-but-nonzero: XLA fuses the scan body differently
+    than the standalone step program, so f32 results differ by a few ULPs
+    per step."""
+    import jax.numpy as jnp
+
+    from deepemia_tpu.train.trainer import (
+        TrainState,
+        build_train_step,
+        make_mesh,
+        make_optimizer,
+        pack_batch_bytes,
+        state_shardings,
+    )
+
+    model, params = tiny_r50
+    tx = make_optimizer(1e-3, 10, params=params)
+    caps = dict(
+        pre_nms_topk=64, post_nms_topk=32, rpn_batch=32, roi_batch=32,
+        mask_rois=8,
+    )
+    rng = np.random.default_rng(11)
+    K = 3
+    bufs = []
+    for j in range(K):
+        masks = rng.random((2, 4, 64, 64)) > 0.7
+        batch = {
+            "image": (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8),
+            "gt_boxes": rng.random((2, 4, 4)).astype(np.float32) * 40,
+            "gt_classes": np.ones((2, 4), np.int32),
+            "gt_valid": np.ones((2, 4), bool),
+            "gt_masks": np.packbits(masks, axis=-1),
+        }
+        bufs.append(pack_batch_bytes(batch, np.array([7, j], np.uint32)))
+
+    finals, metric_streams = [], []
+    for mode in ("single", "chunk"):
+        own = jax.tree.map(lambda x: x.copy(), params)
+        state = TrainState.create(own, tx)
+        mesh = make_mesh(1, max_data=2)
+        _, _, packed_fn, packed_sh, chunk_fn, chunk_sh = build_train_step(
+            model, mesh, tx, loss_caps=caps, state_template=state,
+            packed_shape=(64, 4), with_chunks=True,
+        )
+        state = jax.device_put(state, state_shardings(state, mesh))
+        if mode == "single":
+            ms = []
+            for buf in bufs:
+                state, m = packed_fn(state, jax.device_put(buf, packed_sh))
+                ms.append(float(m["total"]))
+        else:
+            state, m = chunk_fn(
+                state, jax.device_put(np.stack(bufs), chunk_sh)
+            )
+            ms = [float(v) for v in np.asarray(m["total"])]
+        assert int(state.step) == K
+        finals.append(jax.device_get(state.params))
+        metric_streams.append(ms)
+
+    assert all(np.isfinite(metric_streams[0]))
+    np.testing.assert_allclose(
+        metric_streams[0], metric_streams[1], rtol=1e-5
+    )
+    flat_a = jax.tree_util.tree_leaves_with_path(finals[0])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(finals[1]))
+    for path, va in flat_a:
+        vb = np.asarray(flat_b[path], np.float32)
+        np.testing.assert_allclose(
+            np.asarray(va, np.float32), vb, rtol=1e-3, atol=1e-5,
+            err_msg=str(path),
+        )
+
+
+def test_dispatch_chunk_boundaries():
+    """Chunks must tile [start, max_iter) exactly, never cross a checkpoint
+    boundary, and reach every checkpoint step a single-step loop would."""
+    from deepemia_tpu.train.trainer import dispatch_chunk_end
+
+    for k, max_iter, every, start in [
+        (8, 100, 20, 0),    # aligned
+        (8, 100, 10, 0),    # chunk == boundary spacing fraction
+        (8, 103, 20, 0),    # ragged tail
+        (8, 100, 5, 0),     # boundaries tighter than k
+        (3, 17, 7, 0),      # nothing divides anything
+        (8, 100, 20, 13),   # resume from an unaligned step
+        (1, 9, 4, 0),       # k=1 degenerates to single-step
+    ]:
+        i, ends = start, []
+        while i < max_iter:
+            e = dispatch_chunk_end(i, k, max_iter, every)
+            assert i < e <= max_iter
+            assert e - i <= k
+            # never crosses a checkpoint boundary
+            assert (i // every) == ((e - 1) // every)
+            ends.append(e)
+            i = e
+        assert ends[-1] == max_iter
+        # every checkpoint multiple in (start, max_iter] is an end
+        ckpts = {s for s in range(start + 1, max_iter + 1) if s % every == 0}
+        assert ckpts <= set(ends)
