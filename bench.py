@@ -345,6 +345,67 @@ def bench_train_step(jax, jnp):
     }
 
 
+def _wait_for_backend(budget_s: float) -> None:
+    """Block until ``jax.devices()`` resolves in a fresh process, retrying
+    with backoff up to ``budget_s``. Each probe is bounded: with the axon
+    tunnel down, backend init hangs indefinitely instead of raising, so
+    only a subprocess timeout detects the outage without wedging the
+    parent (which has not initialized its backend yet)."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    # honor an explicit CPU request inside the probe too (the axon
+    # sitecustomize overrides the env var; see main())
+    probe = (
+        "import os, sys, jax\n"
+        "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
+        "    try:\n"
+        "        jax.config.update('jax_platforms', 'cpu')\n"
+        "    except RuntimeError:\n"
+        "        pass\n"
+        "sys.stdout.write(jax.devices()[0].platform)\n"
+    )
+    deadline = _time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=120,
+                env=os.environ.copy(),
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                if attempt > 1:
+                    print(
+                        f"backend '{out.stdout.strip()}' up after "
+                        f"{attempt} probes",
+                        file=sys.stderr,
+                    )
+                return
+            err = (out.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 120s (tunnel hang)"
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            print(
+                f"backend probe never succeeded within {budget_s:.0f}s "
+                f"({err[:200]}); proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"backend unavailable ({err[:120]}); retrying in 60s "
+            f"({remaining:.0f}s left)",
+            file=sys.stderr,
+        )
+        _time.sleep(min(60.0, remaining))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -391,6 +452,13 @@ def main() -> None:
     if args.only == "train":
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
         return
+
+    # The tunneled TPU backend occasionally drops; a bare jax.devices()
+    # then HANGS (>20 min observed) rather than erroring, which would eat
+    # the whole driver budget before the headline prints. Probe the
+    # backend in bounded subprocesses and wait for it to come back before
+    # committing to any bench.
+    _wait_for_backend(budget_s=900.0)
 
     # The train-step config runs FIRST, in a BOUNDED subprocess: its compile
     # is the longest in the suite, and the one real TPU chip is behind a
