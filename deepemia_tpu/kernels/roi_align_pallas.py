@@ -371,10 +371,10 @@ def roi_align_pallas(
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom
-            pl.BlockSpec(memory_space=pltpu.ANY),  # f0 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # f0 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, output_size, output_size * c),
@@ -583,16 +583,16 @@ def roi_align_backward_pallas(
                 lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),  # g rows
-            pl.BlockSpec(memory_space=pltpu.ANY),  # accumulators (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # accumulators (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((SMALL_W, SMALL_W + q, c), jnp.float32),
