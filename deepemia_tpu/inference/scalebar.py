@@ -251,11 +251,13 @@ def read_scale_text(gray: np.ndarray):
     """Segment connected components into glyphs (left to right) and classify
     each against the multi-font atlas.
 
-    Returns ``(text, center, bbox)``: ``center`` is the (x, y) centroid and
-    ``bbox`` the (x0, y0, x1, y1) extent of the accepted glyph boxes in ROI
-    pixel coordinates (both None when no glyph was recognized) — the analog
-    of the reference's EasyOCR text-box geometry used for line↔text
-    proximity scoring (scalebar_ocr.py:186-189,241-244)."""
+    Returns ``(text, center, bbox, tokens)``: ``center`` is the (x, y)
+    centroid and ``bbox`` the (x0, y0, x1, y1) extent of the accepted glyph
+    boxes in ROI pixel coordinates (both None when no glyph was
+    recognized); ``tokens`` is a list of ``(token_string, (cx, cy))`` for
+    each whitespace-separated token — the analog of the reference's
+    per-box EasyOCR results used for line↔text proximity scoring and
+    value↔line association (scalebar_ocr.py:186-189,241-244)."""
     # 2x cubic upscale before binarization: reconnects thin serif strokes
     # that noise/JPEG/blur would otherwise fragment into bare stems
     gray = cv2.resize(gray, None, fx=2, fy=2, interpolation=cv2.INTER_CUBIC)
@@ -309,16 +311,60 @@ def read_scale_text(gray: np.ndarray):
             prev_end = x + w
     text = "".join(chars)
     if not accepted:
-        return text, None, None
-    # centroid / bounding box of accepted glyph boxes; coordinates are on the
-    # 2x-upscaled image, so halve back to ROI pixels
+        return text, None, None, []
+    # whitespace-separated tokens with their glyph-box centers (ROI pixels;
+    # glyph coordinates are on the 2x-upscaled image, so halve back) — the
+    # analog of EasyOCR's per-box results, needed to associate the VALUE
+    # with the chosen line when the ROI holds several text fields (SEM
+    # info strips: "15.0kV  x5,000  2 um  WD 8.1mm")
+    tokens: List[Tuple[str, Tuple[float, float]]] = []
+    tok_chars: List[str] = []
+    tok_boxes: List[Tuple[int, int, int, int]] = []
+    gi = 0
+
+    def _flush():
+        if tok_chars:
+            tcx = float(np.mean([x + w / 2.0 for x, y, w, h in tok_boxes])) / 2.0
+            tcy = float(np.mean([y + h / 2.0 for x, y, w, h in tok_boxes])) / 2.0
+            tokens.append(("".join(tok_chars), (tcx, tcy)))
+            tok_chars.clear()
+            tok_boxes.clear()
+
+    for ch in chars:
+        if ch == " ":
+            _flush()
+            continue
+        tok_chars.append(ch)
+        tok_boxes.append(accepted[gi])
+        gi += 1
+    _flush()
     cx = float(np.mean([x + w / 2.0 for x, y, w, h in accepted])) / 2.0
     cy = float(np.mean([y + h / 2.0 for x, y, w, h in accepted])) / 2.0
     bx0 = min(x for x, y, w, h in accepted) / 2.0
     by0 = min(y for x, y, w, h in accepted) / 2.0
     bx1 = max(x + w for x, y, w, h in accepted) / 2.0
     by1 = max(y + h for x, y, w, h in accepted) / 2.0
-    return text, (cx, cy), (bx0, by0, bx1, by1)
+    return text, (cx, cy), (bx0, by0, bx1, by1), tokens
+
+
+def _unit_factor(rest: str) -> Tuple[float, int]:
+    """(to-micrometre factor, strength) from the text after a number.
+
+    Priority u/µ > n > mm: a unit token may contain misread strokes, and a
+    'u' (or 'µ') present anywhere marks micrometres unambiguously.
+    Millimetres require BOTH 'm' glyphs: a bare residual 'm' most often
+    means the 'u' of 'um' (or 'n' of 'nm') was dropped by noise — treating
+    it as mm would silently scale every measurement by 10^3 (ADVICE r2).
+    Strength: 2 = explicit length unit, 1 = bare residual 'm', 0 = none."""
+    if "u" in rest or "µ" in rest:
+        return 1.0, 2
+    if "n" in rest:
+        return 1e-3, 2  # nm -> um
+    if rest.count("m") >= 2:
+        return 1e3, 2  # mm -> um
+    if "m" in rest:
+        return 1.0, 1  # dropped-glyph residual; read as um
+    return 1.0, 0
 
 
 def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
@@ -328,20 +374,66 @@ def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
     if not m:
         return None
     value = float(m.group(1))
-    rest = text[m.end() :]
-    unit = 1.0  # default micrometres
-    # priority u/µ > n > mm: a unit token may contain misread strokes, and a
-    # 'u' (or 'µ') present anywhere marks micrometres unambiguously.
-    # Millimetres require BOTH 'm' glyphs: a bare residual 'm' most often
-    # means the 'u' of 'um' (or 'n' of 'nm') was dropped by noise — treating
-    # it as mm would silently scale every measurement by 10^3 (ADVICE r2).
-    if "u" in rest or "µ" in rest:
-        unit = 1.0
-    elif "n" in rest:
-        unit = 1e-3  # nm -> um
-    elif rest.count("m") >= 2:
-        unit = 1e3  # mm -> um
-    return value * unit, m.group(1)
+    factor, _ = _unit_factor(text[m.end() :])
+    return value * factor, m.group(1)
+
+
+def parse_scale_tokens(
+    tokens: List[Tuple[str, Tuple[float, float]]],
+    line_center: Optional[Tuple[float, float]],
+) -> Optional[Tuple[float, str]]:
+    """Value+unit chosen among per-token OCR results: the pair with an
+    explicit length unit nearest the chosen line wins.
+
+    A multi-field annotation strip ("15.0kV  x5,000  2 um  WD 8.1mm")
+    defeats first-numeric-token parsing; the reference avoids this because
+    EasyOCR returns per-box text it associates with the line
+    (scalebar_ocr.py:241-249). Candidates are (number token, unit text)
+    pairs — the unit may trail in the same token ("8.1mm") or be the next
+    all-letter token ("2" + "um"). Ranked by unit strength (explicit
+    length unit > residual 'm' > none), then by distance to
+    ``line_center``. Returns (value_um, raw) or None."""
+    cands = []
+    for i, (tok, center) in enumerate(tokens):
+        # a value token STARTS with a digit ("8.1mm", "500"); a number
+        # embedded after letters is a misread glyph stroke ("u1n" = noisy
+        # serif 'm'), and magnification fields ("x5,000") are excluded too
+        m = re.match(r"(\d+(?:\.\d+)?)", tok)
+        if not m:
+            continue
+        value = float(m.group(1))
+        if value <= 0:
+            continue
+        rest = tok[m.end() :]
+        cx, cy = center
+        if not re.search(r"[a-zµ]", rest, re.IGNORECASE) and i + 1 < len(
+            tokens
+        ):
+            # unit in the NEXT token ("2" + "um") — it must start with a
+            # letter (misread strokes may add digits inside: "u1n")
+            nxt, ncenter = tokens[i + 1]
+            if not re.match(r"\d", nxt):
+                rest = nxt
+                cx = (cx + ncenter[0]) / 2.0
+                cy = (cy + ncenter[1]) / 2.0
+        factor, strength = _unit_factor(rest)
+        dist = (
+            float(np.hypot(cx - line_center[0], cy - line_center[1]))
+            if line_center is not None
+            else 0.0
+        )
+        # unit-bearing candidates compete on proximity to the line (several
+        # annotated fields may carry length units); unit-LESS ones keep the
+        # value-precedes-unit reading order — a later unit-less token is
+        # usually the misread unit itself ("2 um" -> "2", "1171"), and
+        # glyph-box distance would prefer the garbage
+        tiebreak = dist if strength > 0 else float(i)
+        cands.append((-strength, tiebreak, value * factor, m.group(1)))
+    if not cands:
+        return None
+    cands.sort()
+    _, _, value_um, raw = cands[0]
+    return value_um, raw
 
 
 def detect_scale_bar(
@@ -385,7 +477,7 @@ def detect_scale_bar(
             min_line_length=int(thr.get("min_line_length", 30)),
             edge_margin_factor=thr.get("edge_margin_factor", 0.1),
         )
-        text, text_center, tbox = read_scale_text(roi)
+        text, text_center, tbox, text_tokens = read_scale_text(roi)
         debug["text"] = text
         # Line selection mirrors the reference's criteria chain
         # (scalebar_ocr.py:303-309): the chosen line must be bright along its
@@ -395,33 +487,60 @@ def detect_scale_bar(
         # annotation underlines far from the label lose to these filters
         # even when longer than the bar.
         proximity = float(thr.get("proximity", 100))
+        # structural lines: a run spanning the whole usable ROI width is an
+        # info-strip separator / panel border, not a scale bar (SEM info
+        # bars place a full-width rule directly above the annotation text,
+        # inside any proximity radius). Demote such runs: they can only be
+        # chosen when no non-spanning candidate qualifies (a dataset ROI
+        # drawn tightly around the bar itself stays detectable).
+        margin_px = int(roi.shape[1] * float(thr.get("edge_margin_factor", 0.1)))
+
+        def _spans_roi(c):
+            return (
+                c["x_start"] <= margin_px + 1
+                and c["x_start"] + c["length"] >= roi.shape[1] - margin_px - 2
+            )
+
         line = None
-        for c in sorted(cands, key=lambda c: -c["length"]):
-            if c["intensity"] <= intensity_thr:
-                continue
-            cx = c["x_start"] + c["length"] / 2.0
-            if tbox is not None:
-                # run lies within the text block (glyph strokes bridged into
-                # a pseudo-line): skip — the bar sits outside the label box
-                bx0, by0, bx1, by1 = tbox
-                if (
-                    by0 - 2 <= c["row"] <= by1 + 2
-                    and c["x_start"] >= bx0 - 2
-                    and c["x_start"] + c["length"] <= bx1 + 2
-                ):
+        for allow_spanning in (False, True):
+            for c in sorted(cands, key=lambda c: -c["length"]):
+                if c["intensity"] <= intensity_thr:
                     continue
-            if text_center is not None:
-                dist = float(
-                    np.hypot(cx - text_center[0], c["row"] - text_center[1])
-                )
-                if dist >= proximity:
+                if _spans_roi(c) and not allow_spanning:
                     continue
-            line = (c["row"], c["x_start"], c["length"])
-            break
+                cx = c["x_start"] + c["length"] / 2.0
+                if tbox is not None:
+                    # run lies within the text block (glyph strokes bridged
+                    # into a pseudo-line): skip — the bar sits outside the
+                    # label box
+                    bx0, by0, bx1, by1 = tbox
+                    if (
+                        by0 - 2 <= c["row"] <= by1 + 2
+                        and c["x_start"] >= bx0 - 2
+                        and c["x_start"] + c["length"] <= bx1 + 2
+                    ):
+                        continue
+                if text_center is not None:
+                    dist = float(
+                        np.hypot(cx - text_center[0], c["row"] - text_center[1])
+                    )
+                    if dist >= proximity:
+                        continue
+                line = (c["row"], c["x_start"], c["length"])
+                break
+            if line is not None:
+                break
         if line is not None:
             row, xs, length = line
             debug["line"] = (x0 + xs, y0 + row, x0 + xs + length, y0 + row)
-        parsed = parse_scale_value(text)
+        line_center = (
+            (line[1] + line[2] / 2.0, float(line[0]))
+            if line is not None
+            else None
+        )
+        parsed = parse_scale_tokens(text_tokens, line_center)
+        if parsed is None:
+            parsed = parse_scale_value(text)
         if line is None or parsed is None:
             log.debug(
                 "Scale bar not detected (line=%s, text=%r) — fallback", line, text

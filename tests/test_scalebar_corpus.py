@@ -255,3 +255,56 @@ def test_proximity_rejects_far_line_even_without_true_bar():
         cv2.cvtColor(img, cv2.COLOR_GRAY2BGR), DISTRACTOR_CFG
     )
     assert psum == "0" and um_pix == 1.0
+
+
+def _render_info_strip(label, px=18):
+    """SEM-style info strip: a full-width separator rule directly above the
+    annotation text (within any proximity radius of the label), several
+    text fields, and the true 200-px bar next to its label."""
+    img = np.full((ROI_H, ROI_W), 12, np.uint8)
+    fg = 235
+    cv2.rectangle(img, (0, 8), (ROI_W - 1, 10), fg, -1)  # separator rule
+    for x, field in ((20, "15.0kV"), (560, "WD 8.1mm")):
+        cv2.putText(
+            img, field, (x, 52), cv2.FONT_HERSHEY_SIMPLEX, px / 22.0, fg,
+            max(1, px // 11), cv2.LINE_AA,
+        )
+    cv2.putText(
+        img, label, (220, 52), cv2.FONT_HERSHEY_SIMPLEX, px / 22.0, fg,
+        max(1, px // 11), cv2.LINE_AA,
+    )
+    cv2.rectangle(img, (210, 85), (210 + BAR_LEN - 1, 88), fg, -1)  # true bar
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
+def test_scalebar_info_strip_separator():
+    """The full-width separator rule sits ~35 px above the label — inside
+    the proximity radius and longer than every other run — but a
+    ROI-spanning structural line must lose to the true bar."""
+    hits = 0
+    cases = [(lbl, v) for lbl, v in LABELS if "mm" not in lbl]
+    for label, value_um in cases:
+        img = _render_info_strip(label)
+        psum, um_pix = detect_scale_bar(img, DISTRACTOR_CFG)
+        expected = value_um / BAR_LEN
+        if psum != "0" and abs(um_pix - expected) <= 0.02 * expected:
+            hits += 1
+    assert hits == len(cases), f"info strip: {hits}/{len(cases)} correct"
+
+
+def test_scalebar_tight_roi_spanning_bar_still_detected():
+    """A dataset ROI drawn tightly around the bar region: the TRUE bar spans
+    the whole ROI width. Spanning runs are only demoted, not rejected — with
+    no other candidate they must still calibrate."""
+    img = np.full((70, BAR_LEN), 20, np.uint8)
+    cv2.putText(
+        img, "2 um", (60, 28), cv2.FONT_HERSHEY_SIMPLEX, 18 / 22.0, 230, 2,
+        cv2.LINE_AA,
+    )
+    img[52:55, 0:BAR_LEN] = 230  # bar spans the full (tight) ROI
+    psum, um_pix = detect_scale_bar(
+        cv2.cvtColor(img, cv2.COLOR_GRAY2BGR), DISTRACTOR_CFG
+    )
+    expected = 2.0 / BAR_LEN
+    assert psum != "0"
+    assert abs(um_pix - expected) <= 0.02 * expected
