@@ -33,6 +33,34 @@ def backend_info() -> dict:
     return info
 
 
+def probe_backend(timeout_s: float = 60.0) -> Optional[bool]:
+    """Bounded backend-init probe in a fresh subprocess.
+
+    A broken accelerator runtime (e.g. an unreachable TPU tunnel/driver)
+    makes ``jax.devices()`` HANG indefinitely instead of raising — observed
+    >20 min on a dropped tunnel — so probing in-process would wedge the
+    CLI with no message. Returns True when a backend initialized, False
+    when init errored (an in-process call will then raise quickly with the
+    real error), and None when the probe TIMED OUT (init hang).
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+            env=os.environ.copy(),
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return None
+    except Exception as e:  # noqa: BLE001 - never block preflight itself
+        log.debug("backend probe could not run: %s", e)
+        return True
+
+
 def check_accelerator_availability(
     require_accelerator: bool = False, interactive: bool = True
 ) -> bool:
@@ -42,6 +70,21 @@ def check_accelerator_availability(
     prompt the user to continue (reference gpu_check.py:64-91); else continue
     with a warning.
     """
+    # An explicitly-requested CPU backend cannot hang; otherwise bound the
+    # first backend init so a dead accelerator runtime fails loudly instead
+    # of wedging the process (reference gpu_check reports CUDA state up
+    # front for the same reason, gpu_check.py:29-47).
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        if probe_backend() is None:
+            from deepemia_tpu.utils.exceptions import PipelineError
+
+            raise PipelineError(
+                "JAX backend initialization did not complete within 60s — "
+                "the accelerator runtime (TPU driver/tunnel) looks "
+                "unreachable. Restore it or set JAX_PLATFORMS=cpu to run "
+                "on CPU.",
+                stage="preflight",
+            )
     info = backend_info()
     log_device_info(info)
     if info["platform"] not in ("cpu", "none"):

@@ -106,3 +106,32 @@ def test_color_wavelength_helpers():
     assert rgb_to_wavelength(0, 255, 0) == pytest.approx(620.0 - 170.0 / 270.0 * 60.0)
     with pytest.raises(ValueError):
         hue_to_wavelength(300.0)
+
+
+def test_preflight_probe_hang_raises(monkeypatch):
+    """A hung backend init (dead TPU tunnel: jax.devices() blocks forever
+    in-process) must surface as a clear preflight error, not a wedge."""
+    import pytest
+
+    from deepemia_tpu.utils import device
+    from deepemia_tpu.utils.exceptions import PipelineError
+
+    monkeypatch.setattr(device, "probe_backend", lambda timeout_s=60.0: None)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    with pytest.raises(PipelineError, match="unreachable"):
+        device.check_accelerator_availability(interactive=False)
+
+
+def test_preflight_cpu_env_skips_probe(monkeypatch):
+    """JAX_PLATFORMS=cpu cannot hang: the subprocess probe must be skipped
+    (it costs seconds per CLI run and tests always force CPU)."""
+    from deepemia_tpu.utils import device
+
+    called = []
+    monkeypatch.setattr(
+        device, "probe_backend",
+        lambda timeout_s=60.0: called.append(1) or True,
+    )
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    device.check_accelerator_availability(interactive=False)
+    assert not called
