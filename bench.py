@@ -392,12 +392,15 @@ def _wait_for_backend(budget_s: float) -> None:
             err = "probe timed out after 120s (tunnel hang)"
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
+            # exiting beats proceeding: with the runtime down, the parent's
+            # first backend touch would hang indefinitely and eat whatever
+            # budget the caller has left
             print(
                 f"backend probe never succeeded within {budget_s:.0f}s "
-                f"({err[:200]}); proceeding anyway",
+                f"({err[:200]}); no benchmark can run",
                 file=sys.stderr,
             )
-            return
+            raise SystemExit(2)
         print(
             f"backend unavailable ({err[:120]}); retrying in 60s "
             f"({remaining:.0f}s left)",
