@@ -156,6 +156,9 @@ def default_config(home: Optional[Path] = None) -> Dict[str, Any]:
             "max_worker_threads": 3,
             "enable_parallel_image_loading": True,
             "use_bf16": True,
+            # int8 MXU backbone serving: none | trunk | full (SURVEY Q2
+            # made real — same float checkpoint, quantized at serving time)
+            "quantized_inference": "none",
             "stream_measurements_to_csv": True,
             "cleanup_individual_masks": True,
             "donate_buffers": True,

@@ -204,6 +204,11 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             # morphometric reductions (opt-in throughput path, perimeter may
             # deviate up to ~6% on threshold-ragged boundaries)
             "measurement_backend": Field(types=str, default="host"),
+            # int8 MXU serving for the backbone convs (the REAL version of
+            # the reference's dead qnnpack path, SURVEY Q2): 'none' (float),
+            # 'trunk' (int8 ResNet, float FPN), 'full' (int8 ResNet+FPN).
+            # v5e runs int8 at 2x the bf16 MXU rate; same checkpoint file
+            "quantized_inference": Field(types=str, default="none"),
             # chips used for tile-sharded inference: 0 = all local devices
             "inference_chips": Field(types=int, default=0),
             "cleanup_individual_masks": Field(types=bool, default=True),

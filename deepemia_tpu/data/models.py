@@ -63,8 +63,16 @@ def load_model(
     path: str,
     num_classes: Optional[int] = None,
     use_bf16: bool = True,
+    quant_backbone: str = "none",
 ) -> Tuple[MaskRCNN, dict]:
-    """Load a checkpoint (Orbax dir or Detectron2 .pth) -> (model, params)."""
+    """Load a checkpoint (Orbax dir or Detectron2 .pth) -> (model, params).
+
+    ``quant_backbone``: 'none' | 'trunk' | 'full' — int8 MXU serving
+    (models/quant.py). Unlike the reference's quantization (a SEPARATE
+    ``model_final_quantized.pth`` artifact that no code path ever produces,
+    /root/reference/src/data/models.py:130-160, SURVEY Q2), int8 here is a
+    forward-time transform of the same float checkpoint: no second file.
+    """
     path = os.path.expanduser(path)
     if path.endswith((".pth", ".pkl")):
         from deepemia_tpu.models.weights import load_detectron2_checkpoint
@@ -76,7 +84,12 @@ def load_model(
                 f"Checkpoint has {ckpt_classes} classes, dataset expects {num_classes}",
                 details={"path": path},
             )
-        model = build_model(f"R{depth}", num_classes=n, use_bf16=use_bf16)
+        model = build_model(
+            f"R{depth}",
+            num_classes=n,
+            use_bf16=use_bf16,
+            quant_backbone=quant_backbone,
+        )
         return model, params
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
@@ -97,7 +110,10 @@ def load_model(
                 path, ckpt_arch, ARCH_VERSION,
             )
         model = build_model(
-            meta["backbone"], num_classes=meta["num_classes"], use_bf16=use_bf16
+            meta["backbone"],
+            num_classes=meta["num_classes"],
+            use_bf16=use_bf16,
+            quant_backbone=quant_backbone,
         )
         ckptr = ocp.StandardCheckpointer()
         from deepemia_tpu.models.mask_rcnn import init_params

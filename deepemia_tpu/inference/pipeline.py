@@ -106,6 +106,17 @@ class InferencePipeline:
         # host = native-C++ cv2-exact contours (<1% CSV parity, the
         # BASELINE.md target); device = opt-in throughput path
         self.measurement_backend = perf.get("measurement_backend", "host")
+        # int8 backbone serving (models/quant.py; real version of the
+        # reference's dead quantized path, SURVEY Q2)
+        self.quant_backbone = str(
+            perf.get("quantized_inference", "none") or "none"
+        )
+        if self.quant_backbone not in ("none", "trunk", "full"):
+            log.warning(
+                "Unknown quantized_inference=%r; using 'none'",
+                self.quant_backbone,
+            )
+            self.quant_backbone = "none"
 
         # dataset registration for class names (reference inference.py:593-604)
         info = read_dataset_info(paths["category_json"])
@@ -157,7 +168,12 @@ class InferencePipeline:
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)
         for name, path in sorted(model_paths.items()):
-            model, params = load_model(path, self.num_classes, self.use_bf16)
+            model, params = load_model(
+                path,
+                self.num_classes,
+                self.use_bf16,
+                quant_backbone=self.quant_backbone,
+            )
             self.engines.append(
                 (name, TileEngine(model, params, **engine_kw), weights.get(name, 1.0))
             )

@@ -277,7 +277,7 @@ def read_scale_text(gray: np.ndarray):
             continue
         comps.append((x, y, w, h))
     if not comps:
-        return "", None, None
+        return "", None, None, []
     heights = [c[3] for c in comps if c[3] >= 5]
     med_h = int(np.median(heights)) if heights else 8
     split = []

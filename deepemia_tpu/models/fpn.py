@@ -12,6 +12,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from deepemia_tpu.models.quant import conv_factory
+
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample in NHWC (matches F.interpolate(nearest))."""
@@ -25,12 +27,15 @@ class FPN(nn.Module):
 
     out_channels: int = 256
     dtype: Any = jnp.float32
+    # int8 MXU convs (models/quant.py); params tree unchanged
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        Conv = conv_factory(self.quant)
         laterals = {}
         for i, name in enumerate(("res2", "res3", "res4", "res5")):
-            laterals[name] = nn.Conv(
+            laterals[name] = Conv(
                 self.out_channels,
                 (1, 1),
                 dtype=self.dtype,
@@ -44,7 +49,7 @@ class FPN(nn.Module):
 
         out = {}
         for level, name in ((2, "res2"), (3, "res3"), (4, "res4"), (5, "res5")):
-            out[f"p{level}"] = nn.Conv(
+            out[f"p{level}"] = Conv(
                 self.out_channels,
                 (3, 3),
                 padding=[(1, 1), (1, 1)],

@@ -45,10 +45,18 @@ class MaskRCNN(nn.Module):
     # 'xla_fast_grad' = differentiable XLA gather + matmul backward;
     # 'pallas_fast_grad' = window-DMA kernel forward, same matmul backward
     train_roi_backend: str = "xla_fast_grad"
+    # int8 MXU serving (replaces the reference's dead qnnpack path, SURVEY
+    # Q2): 'none' = float convs; 'trunk' = int8 ResNet, float FPN (the FPN
+    # outputs feed RoIAlign directly, so localization keeps full precision);
+    # 'full' = int8 ResNet + FPN. Same params tree in all modes.
+    quant_backbone: str = "none"
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, dtype=self.dtype)
-        self.fpn = FPN(dtype=self.dtype)
+        q = self.quant_backbone
+        self.backbone = ResNet(
+            depth=self.depth, dtype=self.dtype, quant=q in ("trunk", "full")
+        )
+        self.fpn = FPN(dtype=self.dtype, quant=q == "full")
         self.rpn_head = RPNHead(dtype=self.dtype)
         self.roi_heads = ROIHeads(
             self.num_classes,
@@ -145,6 +153,7 @@ def build_model(
     use_bf16: bool = True,
     roi_backend: str = "auto",
     train_roi_backend: str = "xla_fast_grad",
+    quant_backbone: str = "none",
 ) -> MaskRCNN:
     """Model factory keyed the way the reference keys checkpoints
     (train_model.py:230-238 suffixes r50/r101)."""
@@ -156,6 +165,7 @@ def build_model(
         dtype=dtype,
         roi_backend=roi_backend,
         train_roi_backend=train_roi_backend,
+        quant_backbone=quant_backbone,
     )
 
 

@@ -1,0 +1,116 @@
+"""Int8 quantized convolution for the inference backbone.
+
+The reference ships a *dead* int8 quantization path (models.py:67-96 +
+train_model.py:53 — the ``model_quantized.pth`` filename never matches, so
+``torch.load`` always falls back to fp32; SURVEY.md Q2). This module is the
+real thing, built for the TPU MXU: v5e executes int8 matmuls/convs at 2x the
+bf16 rate (394 TOPS vs 197 TFLOP/s), and Mask R-CNN tile serving is
+conv-FLOPs-bound at 1024² tile shapes, so an int8 trunk converts directly
+into tile throughput.
+
+Scheme (standard post-training quantization, no calibration pass needed):
+
+  * weights: symmetric per-output-channel int8 — ``w_scale[co] =
+    amax(|W[..., co]|) / 127``. Quantized at trace time from the SAME f32
+    ``kernel`` param ``nn.Conv`` declares, so checkpoints, converters and
+    trainers are untouched; XLA hoists the (tiny) weight-quantize ops out of
+    the tile loop via loop-invariant code motion in the chunked serving scan.
+  * activations: symmetric per-tensor *dynamic* int8 — ``a_scale =
+    amax(|x|) / 127`` computed on device per conv input. Dynamic scaling
+    costs one fused reduction pass over the activation but removes any
+    calibration-set requirement (EM micrograph statistics vary wildly
+    between microscopes; a static scale tuned on one dataset would clip
+    another).
+  * accumulation: int32 on the MXU (``preferred_element_type``), dequantized
+    back to the model compute dtype with the folded ``a_scale * w_scale[co]``
+    factor before the frozen-BN affine.
+
+The per-channel weight scale keeps the quantization error of the 1x1
+bottleneck convs (whose channel dynamic ranges vary ~100x after BN folding)
+at the <1% relative level; see tests/test_quant.py for the enforced error
+bounds and tools/bench_int8.py for the measured throughput and detection
+agreement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 [kh,kw,ci,co] -> (int8 kernel, f32 per-channel scale [co])."""
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-tensor int8: (-amax, amax) -> (-127, 127)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+class Int8Conv(nn.Module):
+    """Drop-in ``nn.Conv`` replacement with int8 MXU execution.
+
+    Declares the identical ``kernel`` (and optional ``bias``) parameters as
+    ``nn.Conv`` — same names, shapes and f32 dtype — so a params tree trained
+    or converted for the float model applies unchanged; quantization is a
+    pure forward-time transform.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[None, int, Sequence[int]] = None
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        strides = self.strides or (1, 1)
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        padding = self.padding
+        if isinstance(padding, str):
+            pad = padding
+        else:
+            pad = tuple(tuple(p) for p in padding)
+
+        w_q, w_scale = quantize_weight(kernel)
+        x_q, a_scale = quantize_activation(x)
+        y = lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=tuple(strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (a_scale * w_scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def conv_factory(quant: bool):
+    """The conv class the backbone/FPN should build with: ``nn.Conv`` for
+    the float model, ``Int8Conv`` for the quantized serving path."""
+    return Int8Conv if quant else nn.Conv

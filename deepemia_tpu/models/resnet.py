@@ -21,6 +21,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from deepemia_tpu.models.quant import conv_factory
+
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 
@@ -48,12 +50,16 @@ class BottleneckBlock(nn.Module):
     bottleneck_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    # int8 MXU convs (per-channel weight / dynamic per-tensor activation
+    # scales, models/quant.py) — the params tree is identical either way
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        Conv = conv_factory(self.quant)
         shortcut = x
         if x.shape[-1] != self.out_channels or self.stride != 1:
-            shortcut = nn.Conv(
+            shortcut = Conv(
                 self.out_channels,
                 (1, 1),
                 strides=(self.stride, self.stride),
@@ -70,7 +76,7 @@ class BottleneckBlock(nn.Module):
         # torchvision convention). Converted checkpoints are only correct
         # with the stride here — the kernel shapes are identical either way,
         # so a mismatch would be silent.
-        y = nn.Conv(
+        y = Conv(
             self.bottleneck_channels,
             (1, 1),
             strides=(self.stride, self.stride),
@@ -80,7 +86,7 @@ class BottleneckBlock(nn.Module):
         )(x)
         y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="norm1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Conv(
             self.bottleneck_channels,
             (3, 3),
             padding=[(1, 1), (1, 1)],
@@ -90,7 +96,7 @@ class BottleneckBlock(nn.Module):
         )(y)
         y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="norm2")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Conv(
             self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(y)
         y = FrozenBatchNorm(self.out_channels, self.dtype, name="norm3")(y)
@@ -103,13 +109,17 @@ class ResNet(nn.Module):
 
     depth: int = 50
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        Conv = conv_factory(self.quant)
         blocks = STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
-        # stem: 7x7/2 conv + frozen BN + 3x3/2 maxpool
-        x = nn.Conv(
+        # stem: 7x7/2 conv + frozen BN + 3x3/2 maxpool (the stem input is
+        # normalized uint8 pixel data — int8 quantization error there is
+        # below the sensor's own quantization)
+        x = Conv(
             64,
             (7, 7),
             strides=(2, 2),
@@ -135,6 +145,7 @@ class ResNet(nn.Module):
                     bottleneck_channels=bn_c,
                     stride=stride if b == 0 else 1,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"res{stage_idx + 2}_block{b}",
                 )(x)
             feats[f"res{stage_idx + 2}"] = x

@@ -308,3 +308,27 @@ def test_scalebar_tight_roi_spanning_bar_still_detected():
     expected = 2.0 / BAR_LEN
     assert psum != "0"
     assert abs(um_pix - expected) <= 0.02 * expected
+
+
+def test_read_scale_text_empty_roi_arity():
+    """A ROI with no glyph components returns the full 4-tuple — the
+    3-element early return made detect_scale_bar throw in its caller's
+    unpack and take the exception fallback on every label-less image."""
+    from deepemia_tpu.inference.scalebar import read_scale_text
+
+    text, center, bbox, tokens = read_scale_text(np.zeros((40, 200), np.uint8))
+    assert text == ""
+    assert center is None and bbox is None
+    assert tokens == []
+
+
+def test_detect_scale_bar_no_label_no_exception(caplog):
+    """A plain micrograph (no label glyphs in the ROI) must take the
+    deliberate no-text path, not the blanket exception fallback."""
+    import logging
+
+    img = np.full((128, 128, 3), 30, np.uint8)
+    with caplog.at_level(logging.WARNING, logger="deepemia_tpu.scalebar"):
+        psum, um_pix = detect_scale_bar(img, DISTRACTOR_CFG)
+    assert psum == "0" and um_pix == 1.0
+    assert not [r for r in caplog.records if "failed" in r.message]
