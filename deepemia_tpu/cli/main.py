@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
             "(default: config performance.inference_chips; 0 = all local)"
         ),
     )
+    p.add_argument(
+        "--quantized",
+        choices=["none", "trunk", "full"],
+        default=None,
+        help=(
+            "Int8 MXU backbone serving (default: config "
+            "performance.quantized_inference; same float checkpoint)"
+        ),
+    )
     return p
 
 
@@ -319,6 +328,10 @@ def run_task(args) -> int:
 
         if args.chips is not None:
             cfg.setdefault("performance", {})["inference_chips"] = args.chips
+        if args.quantized is not None:
+            cfg.setdefault("performance", {})[
+                "quantized_inference"
+            ] = args.quantized
         pipe = InferencePipeline(
             args.dataset_name, split_dir, config=cfg,
             default_threshold=args.threshold,

@@ -95,6 +95,11 @@ def inference_task() -> int:
         argv.append("--id")
     if _input("Debug scale bar detection? (y/n)", "n").lower() == "y":
         argv.append("--draw-scalebar")
+    quant = _input(
+        "Int8 backbone serving (none/trunk/full)", "none"
+    ).strip().lower()
+    if quant in ("trunk", "full"):
+        argv += ["--quantized", quant]
     return execute_command(argv)
 
 

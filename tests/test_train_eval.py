@@ -146,6 +146,7 @@ def test_cli_help_and_missing_dataset(tmp_home):
     )
     assert out.returncode == 0
     assert "--task" in out.stdout and "inference" in out.stdout
+    assert "--quantized" in out.stdout  # int8 serving reachable from the CLI
     # missing dataset name for a task that needs one
     out2 = subprocess.run(
         [sys.executable, "main.py", "--task", "prepare", "--no-gpu-check"],
