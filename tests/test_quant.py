@@ -113,3 +113,34 @@ def test_quant_model_detections_agree(tiny_r50):
         # random-init feature maps amplify relative error vs trained ones;
         # the bound here is a structural sanity floor, not the AP claim
         assert corr > 0.95, (lv, corr)
+
+
+def test_quant_split_serving_engine(tiny_r50):
+    """The TPU production schedule (split serving: conv-pure P1 + heads P2)
+    runs with the int8 backbone: quantized convs live in P1 only, and the
+    engine produces a finite padded InstanceSet."""
+    import numpy as np
+
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+    model, params = tiny_r50
+    engine = TileEngine(
+        model.clone(quant_backbone="trunk"),
+        params,
+        tile_size=64,
+        overlap_ratio=0.2,
+        upscale_factor=1.0,
+        capacity=32,
+        serving="split",
+        tile_batch=2,
+    )
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(3)
+    img = (rng.random((160, 160, 3)) * 255).astype(np.float32)
+    inst, quality = engine.infer(img, settings)
+    assert np.isfinite(np.asarray(inst.scores)).all()
+    assert inst.boxes.shape == (32, 4)
