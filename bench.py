@@ -29,16 +29,18 @@ def _sync(x) -> None:
     np.asarray(x)
 
 
-def bench_tile_throughput(jax, jnp):
+def bench_tile_throughput(jax, jnp, quant: str = "none"):
     """Headline: full-model forward throughput on 1024^2 tiles, using the
     engine's serving pattern (backbone batched over the tile batch, heads
-    per tile)."""
+    per tile). ``quant``: int8 backbone mode (bench.py --only int8)."""
     from deepemia_tpu.inference.engine import TileEngine
     from deepemia_tpu.models.mask_rcnn import build_model, init_params
 
     platform = jax.devices()[0].platform
     use_bf16 = platform != "cpu"
-    model = build_model("R50", num_classes=2, use_bf16=use_bf16)
+    model = build_model(
+        "R50", num_classes=2, use_bf16=use_bf16, quant_backbone=quant
+    )
     params = init_params(model, (TILE, TILE), seed=0)
     engine = TileEngine(model, params)
 
@@ -69,7 +71,8 @@ def bench_tile_throughput(jax, jnp):
     elapsed = time.perf_counter() - t0
     tps = ITERS * BATCH / elapsed
     return {
-        "metric": f"tile_inference_throughput_{platform}",
+        "metric": f"tile_inference_throughput_{platform}"
+        + (f"_int8_{quant}" if quant != "none" else ""),
         "value": round(tps, 3),
         "unit": "1024px_tiles_per_sec_per_chip",
         "vs_baseline": round(tps / TARGET_TILES_PER_SEC, 3),
@@ -416,8 +419,9 @@ def main() -> None:
         help="(kept for compatibility; every config already runs by default)",
     )
     ap.add_argument(
-        "--only", choices=["train"], default=None,
-        help="run a single config (used by the bounded-subprocess guard)",
+        "--only", choices=["train", "int8"], default=None,
+        help="run a single config (train: bounded-subprocess guard; "
+        "int8: quantized-backbone tile throughput, trunk + full)",
     )
     ap.add_argument(
         "--train-budget-s", type=float, default=2700.0,
@@ -454,6 +458,14 @@ def main() -> None:
 
     if args.only == "train":
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
+        return
+    if args.only == "int8":
+        _wait_for_backend(budget_s=900.0)
+        for mode in ("trunk", "full"):
+            print(
+                json.dumps(bench_tile_throughput(jax, jnp, quant=mode)),
+                flush=True,
+            )
         return
 
     # The tunneled TPU backend occasionally drops; a bare jax.devices()
