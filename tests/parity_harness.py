@@ -73,7 +73,7 @@ def make_blob_records(img_dir, n_images, size=128, seed=0) -> List[dict]:
     return records
 
 
-def ensure_blob_detector(records, out_dir, steps=300, size=128):
+def ensure_blob_detector(records, out_dir, steps=300, size=128, depth=50):
     """Load the trained blob detector if its final checkpoint exists (e.g.
     trained on a TPU in a previous stage), else train it here."""
     import os as _os
@@ -81,22 +81,25 @@ def ensure_blob_detector(records, out_dir, steps=300, size=128):
     from deepemia_tpu.data.models import load_model
     from deepemia_tpu.models.weights import export_detectron2_state_dict
 
-    final = _os.path.join(out_dir, "model_final_r50.orbax")
+    final = _os.path.join(out_dir, f"model_final_r{depth}.orbax")
     if _os.path.isdir(final):
         model, params = load_model(final, num_classes=2, use_bf16=False)
-        sd = export_detectron2_state_dict(params, 50)
+        sd = export_detectron2_state_dict(params, depth)
         return model, params, sd, {}
-    return train_blob_detector(records, out_dir, steps=steps, size=size)
+    return train_blob_detector(
+        records, out_dir, steps=steps, size=size, depth=depth
+    )
 
 
-def train_blob_detector(records, out_dir, steps=300, size=128):
-    """Train R50 (f32) until it detects blobs; returns (model, params, sd)."""
+def train_blob_detector(records, out_dir, steps=300, size=128, depth=50):
+    """Train R{depth} (f32) until it detects blobs; returns
+    (model, params, sd)."""
     from deepemia_tpu.data.models import load_model
     from deepemia_tpu.models.weights import export_detectron2_state_dict
     from deepemia_tpu.train.trainer import TrainConfig, train
 
     cfg = TrainConfig(
-        backbone="R50",
+        backbone=f"R{depth}",
         base_lr=0.001,
         ims_per_batch=2,
         train_size=size,
@@ -119,7 +122,7 @@ def train_blob_detector(records, out_dir, steps=300, size=128):
     )
     ckpt, metrics = train(records, 2, out_dir, cfg, max_steps_override=steps)
     model, params = load_model(ckpt, num_classes=2, use_bf16=False)
-    sd = export_detectron2_state_dict(params, 50)
+    sd = export_detectron2_state_dict(params, depth)
     return model, params, sd, metrics
 
 
@@ -208,7 +211,9 @@ def match_detections(
     }
 
 
-def run_parity(work_dir, train_steps=300, n_test=10, score_threshold=0.05):
+def run_parity(
+    work_dir, train_steps=300, n_test=10, score_threshold=0.05, depth=50
+):
     """Full harness. Returns a report dict with per-image match stats and
     the AP deltas."""
     from deepemia_tpu.data.datasets import rasterize_annotations
@@ -222,7 +227,8 @@ def run_parity(work_dir, train_steps=300, n_test=10, score_threshold=0.05):
         os.path.join(work_dir, "test_imgs"), n_test, seed=100
     )
     model, params, sd, train_metrics = ensure_blob_detector(
-        train_recs, os.path.join(work_dir, "model"), steps=train_steps
+        train_recs, os.path.join(work_dir, "model"), steps=train_steps,
+        depth=depth,
     )
 
     per_image_flax, per_image_oracle, matches = [], [], []
@@ -230,7 +236,8 @@ def run_parity(work_dir, train_steps=300, n_test=10, score_threshold=0.05):
         img = cv2.imread(rec["file_name"], cv2.IMREAD_COLOR)
         flax_det = flax_predict_np(model, params, img, score_threshold)
         oracle_det = torch_predict(
-            sd, img.astype(np.float32), 2, score_threshold=score_threshold
+            sd, img.astype(np.float32), 2, score_threshold=score_threshold,
+            depth=depth,
         )
         matches.append(match_detections(flax_det, oracle_det))
         gt_masks = np.asarray(rasterize_annotations(rec))

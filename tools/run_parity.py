@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--steps", type=int, default=3000)
+_ap.add_argument("--backbone", default="R50", choices=["R50", "R101"])
 _ap.add_argument("--n-test", type=int, default=10)
 _ap.add_argument("--work", default=None)
 _ap.add_argument("--out", default="PARITY.md")
@@ -56,14 +57,18 @@ def main():
 
         recs = make_blob_records(os.path.join(work, "train_imgs"), 16, seed=0)
         _, _, _, metrics = train_blob_detector(
-            recs, os.path.join(work, "model"), steps=args.steps
+            recs, os.path.join(work, "model"), steps=args.steps,
+            depth=101 if "101" in args.backbone else 50,
         )
         print(json.dumps({"trained": args.steps, "metrics": metrics,
                           "work": work}))
         return
     from tests.parity_harness import run_parity
 
-    report = run_parity(work, train_steps=args.steps, n_test=args.n_test)
+    report = run_parity(
+        work, train_steps=args.steps, n_test=args.n_test,
+        depth=101 if "101" in args.backbone else 50,
+    )
 
     m = report["matches"]
     rate = float(np.mean([x["match_rate"] for x in m]))
@@ -82,7 +87,7 @@ def main():
         "semantics (`tests/oracle_torch.py`: anchors, proposal selection,",
         "adaptive-sampling RoIAlign with the CUDA op's boundary rules,",
         "per-class NMS, mask paste), on a genuinely-trained model",
-        f"(R50, {args.steps} steps on synthetic blob micrographs) over",
+        f"({args.backbone}, {args.steps} steps on synthetic blob micrographs) over",
         f"{args.n_test} held-out images. CPU backend, f32 both sides.",
         "Regenerate: `python tools/run_parity.py`.",
         "",
