@@ -446,15 +446,16 @@ def main() -> None:
             pass
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
-    # XLA compiles (first run per machine still pays them)
-    cache = os.environ.get(
-        "DEEPEMIA_TPU_BENCH_XLA_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla"),
+    # XLA compiles (first run per machine still pays them); host-fingerprint
+    # namespaced so foreign-machine AOT entries are never loaded
+    from deepemia_tpu.utils.xla_cache import setup_compilation_cache
+
+    setup_compilation_cache(
+        env_var="DEEPEMIA_TPU_BENCH_XLA_CACHE",
+        default_base=os.path.join(
+            os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla"
+        ),
     )
-    if cache != "0":
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.only == "train":
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)

@@ -23,14 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 # re-compiling the same model programs every run (VERDICT r2 weak #6). With
 # the cache warm, repeat runs skip those compiles entirely. Override the
 # location with DEEPEMIA_TPU_TEST_XLA_CACHE; set it to "0" to disable.
-_cache = os.environ.get(
-    "DEEPEMIA_TPU_TEST_XLA_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_test_xla"),
-)
-if _cache != "0":
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Namespaced per host so foreign-machine AOT entries are never loaded
+# (see deepemia_tpu/utils/xla_cache.py).
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from deepemia_tpu.utils.xla_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import pytest
 

@@ -29,10 +29,9 @@ args = _ap.parse_args()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-cache = os.path.expanduser("~/.cache/deepemia_tpu_test_xla")
-os.makedirs(cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deepemia_tpu.utils.xla_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import cv2  # noqa: E402
 import numpy as np  # noqa: E402

@@ -22,10 +22,14 @@ import numpy as np
 
 # share the bench harness's persistent compilation cache so repeat profiles
 # skip the multi-minute train-step compile
-_cache = os.path.join(os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deepemia_tpu.utils.xla_cache import setup_compilation_cache
+
+setup_compilation_cache(
+    env_var="DEEPEMIA_TPU_BENCH_XLA_CACHE",
+    default_base=os.path.join(
+        os.path.expanduser("~"), ".cache", "deepemia_tpu_bench_xla"
+    ),
+)
 
 
 def sync(metrics):
