@@ -67,7 +67,6 @@ def default_config(home: Optional[Path] = None) -> Dict[str, Any]:
             "output_dir": f"{h}/output",
             "local_dataset_root": h,
             "dataset_configs_dir": f"{h}/config/datasets",
-            "checkpoint_dir": f"{h}/checkpoints",
         },
         "scale_bar_rois": {
             "default": {
@@ -145,7 +144,6 @@ def default_config(home: Optional[Path] = None) -> Dict[str, Any]:
                 "overlap_ratio": 0.1,
                 "upscale_factor": 2.0,
                 "edge_filter_enabled": True,
-                "classes_using_tiling": [0, 1],
                 "tile_batch_size": 16,
             },
             "spatial_constraints": {"default": {"enabled": False}},

@@ -72,7 +72,6 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "dataset_configs_dir": Field(
                 types=str, default="~/deepemia_tpu/config/datasets"
             ),
-            "checkpoint_dir": Field(types=str, default="~/deepemia_tpu/checkpoints"),
         },
     ),
     "scale_bar_rois": _mapping(wildcard=_ROI),
@@ -131,7 +130,12 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     "overlap_ratio": Field(types=Number, default=0.1),
                     "upscale_factor": Field(types=Number, default=2.0),
                     "edge_filter_enabled": Field(types=bool, default=True),
-                    "classes_using_tiling": Field(types=list, default=[0, 1]),
+                    # restrict tile-sourced detections to these class ids;
+                    # other classes keep only the full-image pass. The
+                    # reference PARSES this key but never enforces it
+                    # (inference.py:548 — tiling runs "for all classes");
+                    # here absent/None = all classes tile, a list = enforced
+                    "classes_using_tiling": Field(types=list, default=None),
                     "tile_batch_size": Field(types=int, default=16),
                     # run tiles at NATIVE resolution when the size heuristic
                     # finds no small classes (upscale only helps small
@@ -193,7 +197,12 @@ CONFIG_SCHEMA: Dict[str, Field] = {
     ),
     "performance": _mapping(
         children={
+            # decoded images (+ in-flight device transfers) prefetched
+            # ahead of the per-image loop (reference batch, inference.py:713)
             "inference_batch_size": Field(types=int, default=1),
+            # accepted for reference-config compatibility; a no-op here —
+            # measurements are windowed per image on device, there is no
+            # host measurement batch to size (reference inference.py:1019)
             "measurement_batch_size": Field(types=int, default=3),
             "max_worker_threads": Field(types=int, default=3),
             "enable_parallel_image_loading": Field(types=bool, default=True),
@@ -211,6 +220,10 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "quantized_inference": Field(types=str, default="none"),
             # chips used for tile-sharded inference: 0 = all local devices
             "inference_chips": Field(types=int, default=0),
+            # accepted for reference-config compatibility; a no-op here —
+            # per-mask files are never written (masks stay on device until
+            # the RLE/PNG export), so there is nothing to clean up
+            # (reference inference.py:1317-1338)
             "cleanup_individual_masks": Field(types=bool, default=True),
             "donate_buffers": Field(types=bool, default=True),
         }

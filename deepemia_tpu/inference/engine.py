@@ -133,6 +133,7 @@ class TileEngine:
         confidence_mode: str = "auto",
         tile_batch: int = 16,
         serving: str = "auto",
+        classes_using_tiling=None,
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
@@ -181,6 +182,17 @@ class TileEngine:
         # v5e). 'auto' = split on single-chip TPU, fused otherwise (the
         # shard_map tile mesh keeps the fused path).
         self.serving = serving
+        # restrict tile-SOURCED detections to these class ids (None = all):
+        # the reference parses tile_settings.classes_using_tiling but never
+        # enforces it (inference.py:548 vs :828 "for all classes"); here a
+        # configured list drops tile detections of other classes in the
+        # merge — they keep the full-image pass, where a big object is seen
+        # whole instead of as edge-filtered tile fragments
+        self.tiling_classes = (
+            None
+            if classes_using_tiling is None
+            else tuple(int(c) for c in classes_using_tiling)
+        )
         self._compiled: Dict[Tuple, Any] = {}
 
     # -- single forward on a fixed-size input -------------------------------
@@ -239,6 +251,9 @@ class TileEngine:
                 | (gy1 >= h - 2.0)
             )
             keep = ~edge | at_border
+        if self.tiling_classes is not None:
+            ids = jnp.asarray(self.tiling_classes, jnp.int32)
+            keep = keep & (inst_b.classes[..., None] == ids).any(-1)
         gboxes = tile_ops.tile_boxes_to_global(
             inst_b.boxes, offs_b, scale=scale
         )

@@ -103,6 +103,15 @@ class InferencePipeline:
         self.use_bf16 = perf.get("use_bf16", True) if use_bf16 is None else use_bf16
         self.max_workers = int(perf.get("max_worker_threads", 3))
         self.parallel_loading = bool(perf.get("enable_parallel_image_loading", True))
+        # images decoded + device-transferred ahead of consumption (the
+        # reference's inference batch, inference.py:713-735, maps to a
+        # prefetch window in the streaming per-image loop)
+        self.inference_batch = int(perf.get("inference_batch_size", 1))
+        # flush the measurements CSV after every image so partial results
+        # survive a crash (reference L4 opt, inference.py:242-253)
+        self.stream_measurements = bool(
+            perf.get("stream_measurements_to_csv", True)
+        )
         # host = native-C++ cv2-exact contours (<1% CSV parity, the
         # BASELINE.md target); device = opt-in throughput path
         self.measurement_backend = perf.get("measurement_backend", "host")
@@ -161,6 +170,7 @@ class InferencePipeline:
             full_pass_max_dim=int(ts.get("full_pass_max_dim", 2048)),
             dedup_stride=int(ts.get("dedup_stride", 8)),
             serving=str(ts.get("serving", "auto")),
+            classes_using_tiling=ts.get("classes_using_tiling"),
         )
         cap = int(ts.get("instance_capacity", 0) or 0)
         if cap > 0:
@@ -557,7 +567,7 @@ class InferencePipeline:
         # bounded prefetch: keep only a couple of decoded images (and their
         # in-flight device transfers) ahead of consumption, else a large
         # folder pins hundreds of image buffers in host RAM and HBM
-        prefetch_depth = max(2, self.max_workers)
+        prefetch_depth = max(2, self.max_workers, self.inference_batch)
         loads = {}
         next_submit = 0  # monotonic: consumed futures are popped, never re-queued
 
@@ -750,7 +760,8 @@ class InferencePipeline:
                         )
                     _mt.__exit__(None, None, None)
                     writer.writerows(rows)
-                    f.flush()
+                    if self.stream_measurements:
+                        f.flush()
 
                     if visualize and masks is not None:
                         overlay = viz.render_overlay(

@@ -290,6 +290,7 @@ def build_train_step(
     state_template: Optional[TrainState] = None,
     packed_shape: Optional[Tuple[int, int]] = None,
     with_chunks: bool = False,
+    donate: bool = True,
 ):
     """jit-compiled sharded train step: (state, batch, rng) -> (state, metrics).
 
@@ -347,6 +348,10 @@ def build_train_step(
             metrics,
         )
 
+    # donation of the TrainState buffers: on for production (halves the
+    # peak param+opt memory); performance.donate_buffers=false keeps the
+    # pre-step state alive, e.g. to inspect it after a NaN step
+    _dn = (0,) if donate else ()
     batch_shardings = {
         k: NamedSharding(mesh, v) for k, v in batch_pspecs().items()
     }
@@ -357,10 +362,10 @@ def build_train_step(
             step,
             in_shardings=(st_sh, batch_shardings, repl),
             out_shardings=(st_sh, repl),
-            donate_argnums=(0,),
+            donate_argnums=_dn,
         )
     else:
-        fn = jax.jit(step, donate_argnums=(0,))
+        fn = jax.jit(step, donate_argnums=_dn)
     if packed_shape is None:
         return fn, batch_shardings
 
@@ -378,10 +383,10 @@ def build_train_step(
             step_packed,
             in_shardings=(st_sh, packed_sharding),
             out_shardings=(st_sh, repl),
-            donate_argnums=(0,),
+            donate_argnums=_dn,
         )
     else:
-        packed_fn = jax.jit(step_packed, donate_argnums=(0,))
+        packed_fn = jax.jit(step_packed, donate_argnums=_dn)
     if not with_chunks:
         return fn, batch_shardings, packed_fn, packed_sharding
 
@@ -399,10 +404,10 @@ def build_train_step(
             step_chunk,
             in_shardings=(st_sh, chunk_sharding),
             out_shardings=(st_sh, repl),
-            donate_argnums=(0,),
+            donate_argnums=_dn,
         )
     else:
-        chunk_fn = jax.jit(step_chunk, donate_argnums=(0,))
+        chunk_fn = jax.jit(step_chunk, donate_argnums=_dn)
     return (
         fn,
         batch_shardings,
@@ -476,6 +481,8 @@ class TrainConfig:
     # global-norm gradient clipping; essential for from-scratch training
     # (FrozenBN has no stabilizing normalization)
     grad_clip_norm: Optional[float] = None
+    # donate the TrainState buffers to each step (performance.donate_buffers)
+    donate_buffers: bool = True
     # zero-init every residual branch's last norm scale when training from
     # RANDOM init ("bag of tricks" zero-gamma): the trunk starts as a near
     # identity, activations stay O(1) instead of compounding through 16
@@ -611,6 +618,7 @@ def train(
         state_template=state,
         packed_shape=(cfg.train_size, cfg.max_instances),
         with_chunks=True,
+        donate=cfg.donate_buffers,
     )
     # place the state under its sharding (TP leaves split over 'model')
     state = jax.device_put(state, state_shardings(state, mesh))

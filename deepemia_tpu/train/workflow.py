@@ -203,6 +203,9 @@ def train_on_dataset(
             init_checkpoint=pretrained or None,
             grad_clip_norm=float(train_cfg_section.get("grad_clip_norm", 0))
             or None,
+            donate_buffers=bool(
+                config.get("performance", {}).get("donate_buffers", True)
+            ),
         )
         log.info(
             "Training %s on %s: %s%s", backbone, dataset_name, hp,

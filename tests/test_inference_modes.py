@@ -311,3 +311,59 @@ def test_device_resize_matches_host_cv2():
         )
         # cv2 rounds through uint8 + fixed-point interp: <1 gray level
         assert np.abs(host - dev).max() < 1.0, (nh, nw)
+
+
+def test_classes_using_tiling_filters_tile_sources(tiny_r50):
+    """tile_settings.classes_using_tiling: tile-SOURCED detections of
+    unlisted classes are dropped in the merge while the full-image pass
+    still supplies those classes. The reference parses this key but never
+    enforces it (inference.py:548 vs :828 runs tiling "for all classes");
+    here a configured list is honored."""
+    from deepemia_tpu.inference.detections import InstanceSet
+    from deepemia_tpu.inference.engine import TileEngine
+
+    model, params = tiny_r50
+    eng = TileEngine(
+        model, params, edge_filter=False, classes_using_tiling=[0],
+        capacity=16,
+    )
+    B, D = 2, 3
+    inst = InstanceSet(
+        boxes=jnp.tile(jnp.asarray([1.0, 1.0, 9.0, 9.0]), (B, D, 1)),
+        scores=jnp.full((B, D), 0.9),
+        classes=jnp.asarray([[0, 1, 0], [1, 1, 0]], jnp.int32),
+        valid=jnp.ones((B, D), bool),
+        mask_probs=jnp.ones((B, D, 4, 4)),
+    )
+    offs = jnp.zeros((B, 2))
+    ok = jnp.ones((B,), bool)
+    out = eng._finish_batch(inst, offs, ok, 64, 1.0, 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(out.valid),
+        [[True, False, True], [False, False, True]],
+    )
+    # default (key absent -> None): every class keeps its tile detections
+    eng2 = TileEngine(model, params, edge_filter=False, capacity=16)
+    out2 = eng2._finish_batch(inst, offs, ok, 64, 1.0, 128, 128)
+    assert np.asarray(out2.valid).all()
+
+
+def test_classes_using_tiling_schema_default_none():
+    """Absent key validates to None (= all classes tile); an explicit list
+    passes through. The old default [0, 1] would silently un-tile class 2+
+    on multi-class datasets, so it must NOT be inserted."""
+    from deepemia_tpu.config.config import default_config
+    from deepemia_tpu.config.schema import validate_config
+
+    base = default_config()
+    cfg = validate_config(base, create_dirs=False)
+    assert (
+        cfg["inference_settings"]["tile_settings"]["classes_using_tiling"]
+        is None
+    )
+    base["inference_settings"]["tile_settings"]["classes_using_tiling"] = [0, 2]
+    cfg = validate_config(base, create_dirs=False)
+    assert (
+        cfg["inference_settings"]["tile_settings"]["classes_using_tiling"]
+        == [0, 2]
+    )
