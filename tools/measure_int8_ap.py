@@ -13,9 +13,14 @@ Usage: python tools/measure_int8_ap.py [--steps 3000] [--n-test 10]
 
 import argparse
 import json
+import logging
 import os
 import sys
 import tempfile
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -11,9 +11,14 @@ Forces the CPU backend so both sides share f32 numerics.
 
 import argparse
 import json
+import logging
 import os
 import sys
 import tempfile
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
