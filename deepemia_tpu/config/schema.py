@@ -138,9 +138,14 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     "classes_using_tiling": Field(types=list, default=None),
                     "tile_batch_size": Field(types=int, default=16),
                     # run tiles at NATIVE resolution when the size heuristic
-                    # finds no small classes (upscale only helps small
-                    # objects; skipping it quarters tile conv FLOPs)
+                    # finds no class averaging below upscale_small_area
+                    # (upscale only helps small objects; skipping it
+                    # quarters tile conv FLOPs)
                     "class_conditional_upscale": Field(types=bool, default=True),
+                    # absolute avg-instance-area cutoff (px^2) below which a
+                    # class is considered to need the tile upscale; default
+                    # 32^2 = COCO's small-object bound
+                    "upscale_small_area": Field(types=Number, default=1024.0),
                     # whole-image pass runs native up to this long side,
                     # downscaled above it (8k+ micrographs: raise at will)
                     "full_pass_max_dim": Field(types=int, default=2048),

@@ -235,6 +235,18 @@ def calculate_average_mask_sizes(
     return {c: float(np.mean(v)) for c, v in sizes.items() if v}
 
 
+def classes_needing_upscale(
+    class_avg_sizes: Dict[int, float], min_area: float = 1024.0
+) -> Set[int]:
+    """Classes whose average instance area falls below an ABSOLUTE cutoff
+    (default 32^2 px^2 — COCO's small-object bound). Unlike the
+    percentile-relative `determine_small_classes` (which by construction
+    marks ~half the detected classes small on every dataset), this answers
+    the question the tile-upscale decision actually asks: are any objects
+    small enough that the detector needs the x2 resolution boost?"""
+    return {c for c, s in class_avg_sizes.items() if s < min_area}
+
+
 def determine_small_classes(
     class_avg_sizes: Dict[int, float], threshold_percentile: float = 50
 ) -> Set[int]:

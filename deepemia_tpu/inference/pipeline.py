@@ -194,14 +194,21 @@ class InferencePipeline:
         # full ensemble (reference inference.py:819-826)
         self.ensemble_small_only = bool(es.get("small_classes_only", True))
         # class-conditional upscale (VERDICT r2 next #3): when the size
-        # heuristic finds NO small classes, tiles run at native resolution —
-        # the default x2 upscale quadruples conv FLOPs for every class and
-        # only small classes benefit from it
+        # heuristic finds no class whose average instance area falls below
+        # an ABSOLUTE cutoff (default 32^2 px^2, COCO's small-object bound),
+        # tiles run at native resolution — the default x2 upscale quadruples
+        # conv FLOPs and only genuinely small objects benefit from it. The
+        # percentile-relative small_classes set (reference semantics, kept
+        # for thresholds/postproc/ensemble gating) is deliberately NOT used
+        # here: the median split marks half the classes "small" on every
+        # dataset with detections, which would make native serving dead code.
         self.class_conditional_upscale = bool(
             ts.get("class_conditional_upscale", True)
         )
+        self.upscale_small_area = float(ts.get("upscale_small_area", 1024.0))
         self.configured_upscale = float(ts.get("upscale_factor", 2.0))
         self._heuristic_valid = False
+        self.upscale_classes: set = set()
         pp = self.inf.get("postprocessing", {}) or {}
         self.postproc_enabled = bool(pp.get("enabled", True))
         self.postproc_min_small = float(pp.get("min_size_small", 0) or 0)
@@ -267,15 +274,21 @@ class InferencePipeline:
         if self._heuristics_done:
             return
         self._heuristics_done = True
-        needed = (
+        # the percentile-relative small-class set only drives per-class
+        # settings, which need >= 2 classes to differentiate; the absolute
+        # upscale cutoff is meaningful for any class count
+        needed_for_settings = self.num_classes >= 2 and (
             self.postproc_enabled
             or (self.use_ensemble and self.ensemble_small_only)
-            or (self.class_conditional_upscale and self.configured_upscale > 1)
         )
-        if not needed or self.num_classes < 2 or not images:
+        needed_for_upscale = (
+            self.class_conditional_upscale and self.configured_upscale > 1
+        )
+        if not (needed_for_settings or needed_for_upscale) or not images:
             return
         from deepemia_tpu.inference.multiscale import (
             calculate_average_mask_sizes,
+            classes_needing_upscale,
             determine_small_classes,
         )
 
@@ -285,28 +298,39 @@ class InferencePipeline:
         ]
         _, engine, _ = self.engines[0]
         sizes = calculate_average_mask_sizes(engine, sample, self.settings)
-        self.small_classes = determine_small_classes(sizes)
-        self._heuristic_valid = True
+        # a sample with zero confident detections establishes nothing —
+        # keep the configured upscale (small objects may be exactly what
+        # the sample failed to see at native resolution)
+        self._heuristic_valid = bool(sizes)
+        self.upscale_classes = classes_needing_upscale(
+            sizes, self.upscale_small_area
+        )
+        if needed_for_settings and sizes:
+            self.small_classes = determine_small_classes(sizes)
+            self.settings = class_settings_from_config(
+                self.inf, self.num_classes, self.small_classes
+            )
+            self._apply_default_threshold()
         log.info(
-            "Size heuristic: small classes %s (avg sizes %s)",
+            "Size heuristic: small classes %s, upscale classes %s "
+            "(avg sizes %s, upscale cutoff %.0f px^2)",
             sorted(self.small_classes),
+            sorted(self.upscale_classes),
             {c: round(s, 1) for c, s in sizes.items()},
+            self.upscale_small_area,
         )
-        self.settings = class_settings_from_config(
-            self.inf, self.num_classes, self.small_classes
-        )
-        self._apply_default_threshold()
 
     def _infer_one(self, image: np.ndarray) -> Tuple[InstanceSet, Any]:
         hw = (image.shape[0], image.shape[1])
         settings = self.settings
         # class-conditional upscale: native-resolution tiles when the size
-        # heuristic positively established there are no small classes
+        # heuristic positively established (on a sample WITH detections)
+        # that no class averages below the absolute small-area cutoff
         upscale = None
         if (
             self.class_conditional_upscale
             and self._heuristic_valid
-            and not self.small_classes
+            and not self.upscale_classes
         ):
             upscale = 1.0
         if self.use_iterative:

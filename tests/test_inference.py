@@ -261,8 +261,27 @@ def test_train_resize_range_mode(tmp_path):
     assert abs((box[2] - box[0]) - 100 * (1024 / 400)) < 4
 
 
+def test_classes_needing_upscale_absolute_cutoff():
+    """The upscale decision uses an absolute area cutoff, NOT the
+    percentile-relative small_classes rule (which marks ~half the classes
+    small whenever anything is detected, making native serving dead code)."""
+    from deepemia_tpu.inference.multiscale import (
+        classes_needing_upscale,
+        determine_small_classes,
+    )
+
+    all_large = {0: 5000.0, 1: 20000.0}
+    # percentile rule: class 0 is "small" relative to class 1...
+    assert determine_small_classes(all_large) == {0}
+    # ...but neither is below 32^2, so no upscale is needed
+    assert classes_needing_upscale(all_large) == set()
+    assert classes_needing_upscale({0: 900.0, 1: 20000.0}) == {0}
+    assert classes_needing_upscale({}) == set()
+    assert classes_needing_upscale({0: 5000.0}, min_area=6000.0) == {0}
+
+
 def test_class_conditional_upscale_logic(tiny_dataset):
-    """No small classes established by the heuristic -> tiles run native
+    """No class below the absolute small-area cutoff -> tiles run native
     (upscale 1.0); with small classes (or no heuristic) the configured
     upscale stays in force (VERDICT r2 next #3)."""
     from deepemia_tpu.inference.detections import empty_instances
@@ -282,18 +301,23 @@ def test_class_conditional_upscale_logic(tiny_dataset):
     img = np.zeros((128, 128, 3), np.uint8)
 
     pipe._heuristic_valid = True
-    pipe.small_classes = set()
+    pipe.upscale_classes = set()
     pipe._infer_one(img)
     assert captured["upscale"] == 1.0, (
         pipe.class_conditional_upscale, pipe._heuristic_valid,
-        pipe.small_classes, pipe.use_ensemble, pipe.use_multiscale,
+        pipe.upscale_classes, pipe.use_ensemble, pipe.use_multiscale,
     )
 
+    # the percentile-relative set must NOT disable native serving
     pipe.small_classes = {1}
+    pipe._infer_one(img)
+    assert captured["upscale"] == 1.0
+
+    pipe.upscale_classes = {1}
     pipe._infer_one(img)
     assert captured["upscale"] is None
 
-    pipe.small_classes = set()
+    pipe.upscale_classes = set()
     pipe._heuristic_valid = False  # heuristic never ran: stay conservative
     pipe._infer_one(img)
     assert captured["upscale"] is None
@@ -302,6 +326,28 @@ def test_class_conditional_upscale_logic(tiny_dataset):
     pipe.class_conditional_upscale = False  # opt-out knob
     pipe._infer_one(img)
     assert captured["upscale"] is None
+
+
+def test_size_heuristic_zero_detections_keeps_upscale(tiny_dataset, monkeypatch):
+    """A heuristic sample with no confident detections establishes nothing:
+    the configured upscale must stay in force (small objects may be exactly
+    what the sample failed to see at native resolution)."""
+    from deepemia_tpu.inference import multiscale
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+
+    pipe = InferencePipeline("tinyds", tiny_dataset["split_dir"], use_bf16=False)
+    pipe.postproc_enabled = True
+    monkeypatch.setattr(
+        multiscale, "calculate_average_mask_sizes",
+        lambda engine, paths, settings, **kw: {},
+    )
+    pipe.ensure_size_heuristics(
+        tiny_dataset["inference_dir"],
+        sorted(os.listdir(tiny_dataset["inference_dir"])),
+    )
+    assert pipe._heuristics_done
+    assert not pipe._heuristic_valid
+    assert pipe.upscale_classes == set()
 
 
 def test_pipeline_end_to_end(tiny_dataset):
