@@ -350,49 +350,29 @@ def bench_train_step(jax, jnp):
 
 def _wait_for_backend(budget_s: float) -> None:
     """Block until ``jax.devices()`` resolves in a fresh process, retrying
-    with backoff up to ``budget_s``. Each probe is bounded: with the axon
-    tunnel down, backend init hangs indefinitely instead of raising, so
-    only a subprocess timeout detects the outage without wedging the
-    parent (which has not initialized its backend yet)."""
-    import os
-    import subprocess
+    with backoff up to ``budget_s``. Each probe (utils.device.probe_backend)
+    is a bounded subprocess: with the axon tunnel down, backend init hangs
+    indefinitely instead of raising, so only a subprocess timeout detects
+    the outage without wedging the parent (which has not initialized its
+    backend yet — an in-process watchdog would leave a hung init behind on
+    every retry)."""
     import sys
     import time as _time
 
-    # honor an explicit CPU request inside the probe too (the axon
-    # sitecustomize overrides the env var; see main())
-    probe = (
-        "import os, sys, jax\n"
-        "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
-        "    try:\n"
-        "        jax.config.update('jax_platforms', 'cpu')\n"
-        "    except RuntimeError:\n"
-        "        pass\n"
-        "sys.stdout.write(jax.devices()[0].platform)\n"
-    )
+    from deepemia_tpu.utils.device import probe_backend
+
     deadline = _time.monotonic() + budget_s
     attempt = 0
     while True:
         attempt += 1
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", probe],
-                capture_output=True,
-                text=True,
-                timeout=120,
-                env=os.environ.copy(),
-            )
-            if out.returncode == 0 and out.stdout.strip():
-                if attempt > 1:
-                    print(
-                        f"backend '{out.stdout.strip()}' up after "
-                        f"{attempt} probes",
-                        file=sys.stderr,
-                    )
-                return
-            err = (out.stderr.strip().splitlines() or ["<no stderr>"])[-1]
-        except subprocess.TimeoutExpired:
-            err = "probe timed out after 120s (tunnel hang)"
+        ok, err = probe_backend(timeout_s=120)
+        if ok:
+            if attempt > 1:
+                print(
+                    f"backend '{err}' up after {attempt} probes",
+                    file=sys.stderr,
+                )
+            return
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
             # exiting beats proceeding: with the runtime down, the parent's

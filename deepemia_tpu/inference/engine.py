@@ -179,8 +179,9 @@ class TileEngine:
         # convs suppresses XLA's space-to-batch rewrite (~3x slower convs),
         # so the Pallas RoIAlign only wins when the heads live in their own
         # program (measured: 78.8 fused-xla vs 97.1 split-pallas tiles/s on
-        # v5e). 'auto' = split on single-chip TPU, fused otherwise (the
-        # shard_map tile mesh keeps the fused path).
+        # v5e). 'auto' = split on any TPU backend — _build_split shard_maps
+        # both programs over the tile mesh when one is configured — and
+        # fused on CPU/GPU.
         self.serving = serving
         # restrict tile-SOURCED detections to these class ids (None = all):
         # the reference parses tile_settings.classes_using_tiling but never

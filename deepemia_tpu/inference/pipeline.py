@@ -172,6 +172,22 @@ class InferencePipeline:
             serving=str(ts.get("serving", "auto")),
             classes_using_tiling=ts.get("classes_using_tiling"),
         )
+        # the reference PARSED this key but never enforced it; we enforce it,
+        # so a stale config listing a subset of the classes (old default was
+        # [0, 1]) would silently drop tile-sourced detections of the rest —
+        # make that loud
+        cut = ts.get("classes_using_tiling")
+        if cut is not None:
+            excluded = sorted(
+                set(range(self.num_classes)) - {int(c) for c in cut}
+            )
+            if excluded:
+                log.warning(
+                    "classes_using_tiling=%s excludes class ids %s: those "
+                    "classes keep only full-image-pass detections (tile "
+                    "detections dropped). Remove the key to tile all "
+                    "classes.", list(cut), excluded,
+                )
         cap = int(ts.get("instance_capacity", 0) or 0)
         if cap > 0:
             engine_kw["capacity"] = cap

@@ -17,40 +17,6 @@ import cv2
 import numpy as np
 
 
-def augment_sample(
-    image: np.ndarray,
-    masks: np.ndarray,
-    rng: np.random.Generator,
-    rotation_deg: float = 20.0,
-    brightness_range: Tuple[float, float] = (0.8, 1.2),
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Apply the reference augmentation set to (image [H,W,3], masks [N,H,W])."""
-    if rng.random() < 0.5:  # horizontal flip
-        image = image[:, ::-1]
-        masks = masks[:, :, ::-1]
-    if rng.random() < 0.5:  # vertical flip
-        image = image[::-1]
-        masks = masks[:, ::-1]
-
-    angle = rng.uniform(-rotation_deg, rotation_deg)
-    h, w = image.shape[:2]
-    m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
-    image = cv2.warpAffine(np.ascontiguousarray(image), m, (w, h), flags=cv2.INTER_LINEAR)
-    if len(masks):
-        rotated = [
-            cv2.warpAffine(
-                np.ascontiguousarray(mk.astype(np.uint8)), m, (w, h),
-                flags=cv2.INTER_NEAREST,
-            ).astype(bool)
-            for mk in masks
-        ]
-        masks = np.stack(rotated)
-
-    factor = rng.uniform(*brightness_range)
-    image = np.clip(image.astype(np.float32) * factor, 0, 255).astype(np.uint8)
-    return image, masks
-
-
 def sample_augment_affine(
     h: int,
     w: int,
@@ -61,7 +27,7 @@ def sample_augment_affine(
     """Sample the reference augmentation set as a single 3x3 affine on
     (x, y, 1) pixel coordinates plus a brightness factor.
 
-    Same draw order and distributions as ``augment_sample`` (H-flip p=0.5,
+    Draw order and distributions are the reference mapper's (H-flip p=0.5,
     V-flip p=0.5, rotation +-20 deg, brightness 0.8-1.2), but expressed in
     coordinate space so the loader can compose it with the resize scale and
     apply ONE warp to the image and ONE fillPoly per mask at the final

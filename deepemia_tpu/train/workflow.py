@@ -333,8 +333,12 @@ def optimize_hyperparameters(
     best = {"value": -1.0, "params": {}}
     candidates = [sample() for _ in range(n_trials)]
     try:
-        if strategy == "halving" and n_trials >= 3:
-            rung0 = max(50, max_steps_override // 4)
+        # a rung shorter than the full budget is what makes halving halving;
+        # tiny budgets (< ~67 steps would give rung0 >= budget, making the
+        # promotion rung a resume-past-the-end no-op) fall through to plain
+        # full-budget trials
+        rung0 = max(50, max_steps_override // 4)
+        if strategy == "halving" and n_trials >= 3 and rung0 < max_steps_override:
             scored = [
                 (run_trial(i, hp, rung0, resume=False), i)
                 for i, hp in enumerate(candidates)

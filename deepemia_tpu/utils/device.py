@@ -33,32 +33,91 @@ def backend_info() -> dict:
     return info
 
 
-def probe_backend(timeout_s: float = 60.0) -> Optional[bool]:
-    """Bounded backend-init probe in a fresh subprocess.
+# honor an explicit CPU request inside the probe too: some sitecustomize
+# setups (axon) override the JAX_PLATFORMS env var, so only the config
+# update after import reliably selects CPU
+_PROBE_SRC = (
+    "import os, sys, jax\n"
+    "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
+    "    try:\n"
+    "        jax.config.update('jax_platforms', 'cpu')\n"
+    "    except RuntimeError:\n"
+    "        pass\n"
+    "sys.stdout.write(jax.devices()[0].platform)\n"
+)
+
+
+def probe_backend(timeout_s: float = 60.0) -> Tuple[Optional[bool], str]:
+    """Bounded backend-init probe in a FRESH subprocess.
 
     A broken accelerator runtime (e.g. an unreachable TPU tunnel/driver)
     makes ``jax.devices()`` HANG indefinitely instead of raising — observed
-    >20 min on a dropped tunnel — so probing in-process would wedge the
-    CLI with no message. Returns True when a backend initialized, False
-    when init errored (an in-process call will then raise quickly with the
-    real error), and None when the probe TIMED OUT (init hang).
+    >20 min on a dropped tunnel. Probing in a subprocess lets a caller that
+    has NOT yet committed its own process to backend init (e.g. a retry
+    loop polling for the runtime to come back) detect the outage without
+    wedging. Returns ``(ok, detail)``: ``(True, platform)`` when a backend
+    initialized, ``(False, last stderr line)`` when init errored, and
+    ``(None, message)`` when the probe TIMED OUT (init hang).
+
+    For a one-shot preflight in a process that will initialize JAX anyway,
+    prefer ``init_backend_watchdog`` — it bounds the real init instead of
+    paying a duplicate subprocess jax import.
     """
     import subprocess
     import sys
 
     try:
         out = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", _PROBE_SRC],
             capture_output=True,
+            text=True,
             timeout=timeout_s,
             env=os.environ.copy(),
         )
-        return out.returncode == 0
+        if out.returncode == 0 and out.stdout.strip():
+            return True, out.stdout.strip()
+        err = (out.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        return False, err
     except subprocess.TimeoutExpired:
-        return None
+        return None, f"probe timed out after {timeout_s:.0f}s (init hang)"
     except Exception as e:  # noqa: BLE001 - never block preflight itself
         log.debug("backend probe could not run: %s", e)
-        return True
+        return True, "probe unavailable"
+
+
+def init_backend_watchdog(timeout_s: Optional[float] = None) -> Optional[bool]:
+    """Run the process's first backend init (``jax.devices()``) on a daemon
+    thread and wait up to ``timeout_s`` (default: env
+    ``DEEPEMIA_TPU_PROBE_TIMEOUT`` or 90 s).
+
+    Costs nothing when the runtime is healthy — it performs the init this
+    process needs anyway (subsequent ``jax.devices()`` calls hit the
+    cache). Returns True when init completed (including completing with an
+    error: the caller's next jax call then raises the real error quickly)
+    and None when it is still hanging after the timeout; the stuck daemon
+    thread is abandoned (the caller is expected to abort).
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DEEPEMIA_TPU_PROBE_TIMEOUT", "90"))
+    done = threading.Event()
+
+    def _init():
+        try:
+            import jax
+
+            jax.devices()
+        except Exception as e:  # noqa: BLE001 - surfaced by the next jax call
+            log.debug("backend init errored in watchdog: %s", e)
+        finally:
+            done.set()
+
+    t = threading.Thread(
+        target=_init, name="deepemia-backend-init", daemon=True
+    )
+    t.start()
+    return True if done.wait(timeout_s) else None
 
 
 def check_accelerator_availability(
@@ -73,16 +132,19 @@ def check_accelerator_availability(
     # An explicitly-requested CPU backend cannot hang; otherwise bound the
     # first backend init so a dead accelerator runtime fails loudly instead
     # of wedging the process (reference gpu_check reports CUDA state up
-    # front for the same reason, gpu_check.py:29-47).
+    # front for the same reason, gpu_check.py:29-47). The watchdog runs the
+    # REAL init this process needs anyway, so a healthy runtime pays
+    # nothing extra (no subprocess jax import).
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        if probe_backend() is None:
+        if init_backend_watchdog() is None:
             from deepemia_tpu.utils.exceptions import PipelineError
 
             raise PipelineError(
-                "JAX backend initialization did not complete within 60s — "
-                "the accelerator runtime (TPU driver/tunnel) looks "
-                "unreachable. Restore it or set JAX_PLATFORMS=cpu to run "
-                "on CPU.",
+                "JAX backend initialization did not complete within the "
+                "preflight timeout (DEEPEMIA_TPU_PROBE_TIMEOUT, default "
+                "90s) — the accelerator runtime (TPU driver/tunnel) looks "
+                "unreachable. Restore it, raise the timeout on a loaded "
+                "host, or set JAX_PLATFORMS=cpu to run on CPU.",
                 stage="preflight",
             )
     info = backend_info()

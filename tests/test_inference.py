@@ -216,6 +216,39 @@ def test_geometry_knobs_config_plumbing(tiny_dataset):
     assert pipe.measurement_window == 384
 
 
+def test_classes_using_tiling_exclusion_warns(tiny_dataset, caplog):
+    """Enforcing classes_using_tiling is a deliberate improvement over the
+    reference (which parses but ignores it) — but a stale config listing a
+    subset of the classes must warn loudly, not silently drop tile
+    detections of the rest."""
+    import logging
+
+    from deepemia_tpu.config import get_config
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+
+    cfg = get_config()
+    cfg["inference_settings"]["tile_settings"]["classes_using_tiling"] = [0]
+    with caplog.at_level(logging.WARNING, logger="deepemia_tpu.pipeline"):
+        InferencePipeline(
+            "tinyds", tiny_dataset["split_dir"], config=cfg, use_bf16=False
+        )
+    assert any(
+        "classes_using_tiling" in r.message and "[1]" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+    # full coverage -> no warning
+    caplog.clear()
+    cfg["inference_settings"]["tile_settings"]["classes_using_tiling"] = [0, 1]
+    with caplog.at_level(logging.WARNING, logger="deepemia_tpu.pipeline"):
+        InferencePipeline(
+            "tinyds", tiny_dataset["split_dir"], config=cfg, use_bf16=False
+        )
+    assert not [
+        r for r in caplog.records if "classes_using_tiling" in r.message
+    ]
+
+
 def test_train_resize_range_mode(tmp_path):
     """'range' resize samples Detectron2's shortest-edge schedule inside the
     static canvas: content scale varies run to run, canvas shape does not."""

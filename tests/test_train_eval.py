@@ -252,6 +252,38 @@ def test_hpo_successive_halving_schedule(tmp_home, monkeypatch, tmp_path):
     assert not glob.glob(str(tmp_path / "ds" / "hpo_r50_t*"))
 
 
+def test_hpo_halving_tiny_budget_falls_back(tmp_home, monkeypatch, tmp_path):
+    """A budget smaller than the minimum rung (50) cannot support two rungs:
+    rung0 would exceed the full budget and the promotion would no-op-resume
+    past the end — halving must fall back to plain full-budget trials."""
+    import deepemia_tpu.train.workflow as wf
+
+    calls = []
+
+    def fake_train(records, nc, out_dir, cfg, max_steps_override=None,
+                   resume=True):
+        calls.append((max_steps_override, resume))
+        return f"{out_dir}/ckpt", {"total": 1.0}
+
+    monkeypatch.setattr(wf, "train", fake_train)
+    monkeypatch.setattr(wf, "evaluate_model",
+                        lambda *a, **k: {"segm/AP": 1.0})
+    monkeypatch.setattr(wf, "read_dataset_info",
+                        lambda p: {"ds": ["/x", "/x", ["a", "b"]]})
+    monkeypatch.setattr(wf, "register_datasets", lambda *a, **k: ["a", "b"])
+    monkeypatch.setattr(wf, "_registered_records",
+                        lambda *a: [{"file_name": "x", "annotations": [1]}])
+
+    from deepemia_tpu.config import get_config
+
+    wf.optimize_hyperparameters(
+        "ds", str(tmp_path), backbone="R50", n_trials=3,
+        config=get_config(), max_steps_override=40, strategy="halving",
+    )
+    # every trial ran the full 40-step budget from scratch, no 50-step rung
+    assert calls == [(40, False)] * 3
+
+
 def test_hpo_random_strategy_unchanged(tmp_home, monkeypatch, tmp_path):
     import deepemia_tpu.train.workflow as wf
 

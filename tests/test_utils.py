@@ -116,22 +116,41 @@ def test_preflight_probe_hang_raises(monkeypatch):
     from deepemia_tpu.utils import device
     from deepemia_tpu.utils.exceptions import PipelineError
 
-    monkeypatch.setattr(device, "probe_backend", lambda timeout_s=60.0: None)
+    monkeypatch.setattr(
+        device, "init_backend_watchdog", lambda timeout_s=None: None
+    )
     monkeypatch.setenv("JAX_PLATFORMS", "")
     with pytest.raises(PipelineError, match="unreachable"):
         device.check_accelerator_availability(interactive=False)
 
 
 def test_preflight_cpu_env_skips_probe(monkeypatch):
-    """JAX_PLATFORMS=cpu cannot hang: the subprocess probe must be skipped
-    (it costs seconds per CLI run and tests always force CPU)."""
+    """JAX_PLATFORMS=cpu cannot hang: the init watchdog must be skipped."""
     from deepemia_tpu.utils import device
 
     called = []
     monkeypatch.setattr(
-        device, "probe_backend",
-        lambda timeout_s=60.0: called.append(1) or True,
+        device, "init_backend_watchdog",
+        lambda timeout_s=None: called.append(1) or True,
     )
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     device.check_accelerator_availability(interactive=False)
     assert not called
+
+
+def test_init_backend_watchdog_healthy():
+    """With JAX already initialized in-process the watchdog returns True
+    immediately (it shares the process's one real init)."""
+    from deepemia_tpu.utils import device
+
+    assert device.init_backend_watchdog(timeout_s=30.0) is True
+
+
+def test_probe_backend_subprocess_cpu():
+    """The shared subprocess probe reports (True, platform) on a healthy
+    CPU backend — bench.py's retry loop builds on this contract."""
+    from deepemia_tpu.utils import device
+
+    ok, detail = device.probe_backend(timeout_s=120.0)
+    assert ok is True
+    assert detail == "cpu"
