@@ -211,6 +211,24 @@ def match_detections(
     }
 
 
+def parity_model_dir(work_dir, depth, steps):
+    """Persistent cache dir for the harness's trained blob detector.
+
+    Training the detector (not the parity comparison) dominates the slow
+    test's ~33 min CPU wall time, and the training inputs are fully
+    deterministic (seeded records, seeded init), so warm reruns reuse the
+    checkpoint via ensure_blob_detector's load-if-exists path. Set
+    DEEPEMIA_TPU_PARITY_MODEL_CACHE to relocate the cache, or to 0 to
+    force per-run training in work_dir."""
+    env = os.environ.get("DEEPEMIA_TPU_PARITY_MODEL_CACHE")
+    if env == "0":
+        return os.path.join(work_dir, "model")
+    base = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "deepemia_tpu", "parity"
+    )
+    return os.path.join(base, f"blob_r{depth}_s{steps}_v1")
+
+
 def run_parity(
     work_dir, train_steps=300, n_test=10, score_threshold=0.05, depth=50
 ):
@@ -227,8 +245,8 @@ def run_parity(
         os.path.join(work_dir, "test_imgs"), n_test, seed=100
     )
     model, params, sd, train_metrics = ensure_blob_detector(
-        train_recs, os.path.join(work_dir, "model"), steps=train_steps,
-        depth=depth,
+        train_recs, parity_model_dir(work_dir, depth, train_steps),
+        steps=train_steps, depth=depth,
     )
 
     per_image_flax, per_image_oracle, matches = [], [], []

@@ -9,6 +9,24 @@ import numpy as np
 import pytest
 
 
+def test_parity_model_cache_dir(monkeypatch, tmp_path):
+    """The harness's trained detector lives in a persistent, parameter-keyed
+    cache so warm reruns of the slow parity test skip the ~30 min train."""
+    from tests.parity_harness import parity_model_dir
+
+    monkeypatch.delenv("DEEPEMIA_TPU_PARITY_MODEL_CACHE", raising=False)
+    d = parity_model_dir(str(tmp_path), 50, 300)
+    assert d.endswith("blob_r50_s300_v1") and ".cache" in d
+
+    monkeypatch.setenv("DEEPEMIA_TPU_PARITY_MODEL_CACHE", str(tmp_path / "c"))
+    assert parity_model_dir(str(tmp_path), 101, 400) == str(
+        tmp_path / "c" / "blob_r101_s400_v1"
+    )
+
+    monkeypatch.setenv("DEEPEMIA_TPU_PARITY_MODEL_CACHE", "0")
+    assert parity_model_dir(str(tmp_path), 50, 300) == str(tmp_path / "model")
+
+
 @pytest.mark.slow
 @pytest.mark.heavy
 def test_full_detector_parity(tmp_path):

@@ -57,12 +57,19 @@ def main():
     )
     work = args.work or tempfile.mkdtemp(prefix="parity_")
     if args.train_only:
-        from tests.parity_harness import make_blob_records, train_blob_detector
+        from tests.parity_harness import (
+            make_blob_records,
+            parity_model_dir,
+            train_blob_detector,
+        )
 
+        depth = 101 if "101" in args.backbone else 50
         recs = make_blob_records(os.path.join(work, "train_imgs"), 16, seed=0)
+        # train straight into the shared model cache: the slow CPU parity
+        # test and later compare-only runs load it from there
         _, _, _, metrics = train_blob_detector(
-            recs, os.path.join(work, "model"), steps=args.steps,
-            depth=101 if "101" in args.backbone else 50,
+            recs, parity_model_dir(work, depth, args.steps),
+            steps=args.steps, depth=depth,
         )
         print(json.dumps({"trained": args.steps, "metrics": metrics,
                           "work": work}))
