@@ -146,6 +146,10 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     # class is considered to need the tile upscale; default
                     # 32^2 = COCO's small-object bound
                     "upscale_small_area": Field(types=Number, default=1024.0),
+                    # per-tile RPN/RoI heads iteration: 'map' = lax.map
+                    # (sequential small programs), 'vmap' = batched heads
+                    # (one FC matmul / batched top_k across tiles)
+                    "heads_vectorize": Field(types=str, default="map"),
                     # whole-image pass runs native up to this long side,
                     # downscaled above it (8k+ micrographs: raise at will)
                     "full_pass_max_dim": Field(types=int, default=2048),

@@ -134,6 +134,7 @@ class TileEngine:
         tile_batch: int = 16,
         serving: str = "auto",
         classes_using_tiling=None,
+        heads_vectorize: str = "map",
     ):
         """``mesh``: optional 1-D ('tile',) jax.sharding.Mesh — the tile grid
         is then sharded across its devices via shard_map (spatial parallelism
@@ -194,7 +195,21 @@ class TileEngine:
             if classes_using_tiling is None
             else tuple(int(c) for c in classes_using_tiling)
         )
+        # 'map' (default): iterate tiles' RPN/RoI heads with lax.map —
+        # sequential but small programs. 'vmap': batch them — one big FC
+        # matmul / batched top_k; equivalence is tested on CPU
+        # (tools/bench_heads_vmap.py measures which wins on TPU)
+        if heads_vectorize not in ("map", "vmap"):
+            raise ValueError(f"heads_vectorize: {heads_vectorize!r}")
+        self.heads_vectorize = heads_vectorize
         self._compiled: Dict[Tuple, Any] = {}
+
+    def _iter_tiles(self, fn, xs):
+        """Apply ``fn`` across the leading tile axis of ``xs`` per the
+        configured strategy."""
+        if self.heads_vectorize == "vmap":
+            return jax.vmap(fn)(xs)
+        return jax.lax.map(fn, xs)
 
     # -- single forward on a fixed-size input -------------------------------
 
@@ -222,7 +237,7 @@ class TileEngine:
             )
             return detections_to_instances(det)
 
-        return jax.lax.map(heads, feats)
+        return self._iter_tiles(heads, feats)
 
     def _finish_batch(
         self, inst_b: InstanceSet, offs_b, ok_b, ts: int, scale: float,
@@ -470,7 +485,7 @@ class TileEngine:
                 )
                 return detections_to_instances(det)
 
-            return jax.lax.map(
+            return self._iter_tiles(
                 one,
                 (
                     feats,

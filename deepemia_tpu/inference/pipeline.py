@@ -171,6 +171,7 @@ class InferencePipeline:
             dedup_stride=int(ts.get("dedup_stride", 8)),
             serving=str(ts.get("serving", "auto")),
             classes_using_tiling=ts.get("classes_using_tiling"),
+            heads_vectorize=str(ts.get("heads_vectorize", "map")),
         )
         # the reference PARSED this key but never enforced it; we enforce it,
         # so a stale config listing a subset of the classes (old default was

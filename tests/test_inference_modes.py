@@ -290,6 +290,58 @@ def test_split_serving_matches_fused(tiny_r50):
     )
 
 
+def test_heads_vectorize_vmap_matches_map(tiny_r50):
+    """heads_vectorize='vmap' (batched per-tile RPN/RoI heads: one FC
+    matmul, batched top_k/NMS) must produce the same instances as the
+    default sequential lax.map, through BOTH the fused and split serving
+    paths — it exists purely as a TPU scheduling A/B
+    (tools/bench_heads_vmap.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+    model, params = tiny_r50
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(11)
+    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+
+    def run(serving, hv):
+        eng = TileEngine(
+            model, params, tile_size=128, overlap_ratio=0.2,
+            upscale_factor=1.0, capacity=64, full_pass_max_dim=512,
+            tile_batch=2, serving=serving, heads_vectorize=hv,
+        )
+        return eng.infer(img, settings)
+
+    for serving in ("fused", "split"):
+        inst_m, q_m = run(serving, "map")
+        inst_v, q_v = run(serving, "vmap")
+        assert q_m == q_v
+        vm, vv = np.asarray(inst_m.valid), np.asarray(inst_v.valid)
+        np.testing.assert_array_equal(vm, vv, err_msg=serving)
+        np.testing.assert_allclose(
+            np.asarray(inst_m.boxes)[vm], np.asarray(inst_v.boxes)[vv],
+            rtol=1e-4, atol=1e-3, err_msg=serving,
+        )
+        np.testing.assert_allclose(
+            np.asarray(inst_m.scores)[vm], np.asarray(inst_v.scores)[vv],
+            rtol=1e-4, atol=1e-4, err_msg=serving,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_m.classes)[vm], np.asarray(inst_v.classes)[vv]
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TileEngine(model, params, heads_vectorize="bogus")
+
+
 def test_device_resize_matches_host_cv2():
     """The multiscale device resize (jax.image.resize, antialias=False) must
     reproduce the host path's cv2.resize(INTER_LINEAR) — with the default
