@@ -657,6 +657,12 @@ def train(
         workers=cfg.loader_workers,
     )
     metrics: Dict[str, float] = {}
+    log.info(
+        "Training %s: steps %d-%d (B=%d, %dpx, dispatch chunk %d) — first "
+        "step compiles the program (minutes on CPU, ~20-40s on TPU)",
+        cfg.backbone, start_step, max_iter, cfg.ims_per_batch,
+        cfg.train_size, max(1, int(cfg.steps_per_dispatch)),
+    )
     t0 = time.time()
     try:
         # double-buffer: the NEXT batch's host->device transfer is issued
