@@ -25,10 +25,27 @@ from typing import Optional
 
 
 def host_fingerprint() -> str:
-    """Stable-per-host hash of the CPU feature set and jax version."""
+    """Stable-per-host hash: machine identity + CPU features + jax version.
+
+    Round-3 lesson: cpuinfo flags alone do NOT discriminate hosts — XLA:CPU
+    bakes pseudo-features like ``+prefer-no-gather`` into its AOT entries
+    that are a function of the compile machine's LLVM target choice, not of
+    the visible flag list, so two fleet hosts with identical ``/proc/cpuinfo``
+    flags still produce mutually-unloadable AOT code (observed live as the
+    MULTICHIP_r03 failure). The namespace therefore keys on per-machine
+    identity (``/etc/machine-id`` + hostname) so a cache directory that
+    travels with the repo is never shared across machines at all.
+    """
+    import platform
+
     import jax
 
-    bits = ["jax=" + jax.__version__]
+    bits = ["jax=" + jax.__version__, "node=" + platform.node()]
+    try:
+        with open("/etc/machine-id") as f:
+            bits.append("mid=" + f.read().strip())
+    except OSError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -38,8 +55,6 @@ def host_fingerprint() -> str:
                     bits.append(line.strip())
                     break
     except OSError:
-        import platform
-
         bits.append(platform.processor() or platform.machine())
     return format(zlib.crc32("|".join(bits).encode()), "08x")
 
