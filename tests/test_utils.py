@@ -154,3 +154,138 @@ def test_probe_backend_subprocess_cpu():
     ok, detail = device.probe_backend(timeout_s=120.0)
     assert ok is True
     assert detail == "cpu"
+
+
+class _FakeBlob:
+    """In-memory stand-in for google.cloud.storage.Blob."""
+
+    def __init__(self, store, name):
+        self._store = store
+        self.name = name
+
+    def upload_from_filename(self, path):
+        with open(path, "rb") as f:
+            self._store[self.name] = f.read()
+
+    def download_to_filename(self, path):
+        if self.name not in self._store:
+            raise RuntimeError(f"no such blob {self.name}")
+        with open(path, "wb") as f:
+            f.write(self._store[self.name])
+
+    def delete(self):
+        del self._store[self.name]
+
+
+class _FakeBucket:
+    def __init__(self, store):
+        self._store = store
+
+    def blob(self, name):
+        return _FakeBlob(self._store, name)
+
+    def list_blobs(self, prefix=""):
+        return [
+            _FakeBlob(self._store, n)
+            for n in sorted(self._store)
+            if n.startswith(prefix)
+        ]
+
+
+class _FakeGcsClient:
+    def __init__(self, store):
+        self._store = store
+
+    def bucket(self, name):
+        return _FakeBucket(self._store)
+
+
+def test_gcs_client_storage_roundtrip(tmp_path):
+    from deepemia_tpu.utils.storage import GcsClientStorage
+
+    blobs = {}
+    store = GcsClientStorage("bkt", client=_FakeGcsClient(blobs))
+    ds = tmp_path / "ds"
+    (ds / "sub").mkdir(parents=True)
+    (ds / "a.tif").write_text("img")
+    (ds / "sub" / "b.json").write_text("{}")
+    store.upload_tree(ds, "DATASET/myds")
+    assert set(blobs) == {"DATASET/myds/a.tif", "DATASET/myds/sub/b.json"}
+    assert store.list_prefix("DATASET/myds") == sorted(blobs)
+
+    out = tmp_path / "restored"
+    store.download_dataset("myds", out)
+    assert (out / "a.tif").read_text() == "img"
+    assert (out / "sub" / "b.json").exists()
+    with pytest.raises(StorageError):
+        store.download_dataset("missing", tmp_path / "x")
+
+    # single-file ops + selective results upload via the shared base class
+    res = tmp_path / "results"
+    res.mkdir()
+    (res / "measurements_results.csv").write_text("csv")
+    (res / "junk.bin").write_text("junk")
+    uploaded = store.upload_inference_results(res, timestamp="TS")
+    assert [p.name for p in uploaded] == ["measurements_results.csv"]
+    assert "Archive/TS/measurements_results.csv" in blobs
+    assert "Archive/TS/upload_summary.txt" in blobs
+    assert not any("junk" in n for n in blobs)
+
+    # wipe-then-upload (GUI replace-contents semantics)
+    ds2 = tmp_path / "ds2"
+    ds2.mkdir()
+    (ds2 / "only.txt").write_text("new")
+    store.upload_tree_wipe(ds2, "DATASET/myds")
+    assert store.list_prefix("DATASET/myds") == ["DATASET/myds/only.txt"]
+
+
+def test_local_storage_list_and_wipe(tmp_path):
+    store = LocalStorage(tmp_path / "bucket")
+    d = tmp_path / "d"
+    d.mkdir()
+    (d / "x.txt").write_text("1")
+    store.upload_tree(d, "P/one")
+    assert store.list_prefix("P") == ["P/one/x.txt"]
+    assert store.delete_prefix("P/one") == 1
+    assert store.list_prefix("P") == []
+
+
+def test_storage_from_config_client_fallback(tmp_path, monkeypatch):
+    """bucket set + no gsutil + client importable -> GcsClientStorage."""
+    import sys
+    import types
+
+    import deepemia_tpu.utils.storage as st
+
+    monkeypatch.setattr(st.shutil, "which", lambda name: None)
+    created = {}
+
+    class _Client:
+        def __init__(self):
+            created["yes"] = True
+
+        def bucket(self, name):
+            return _FakeBucket({})
+
+    gcs_mod = types.ModuleType("google.cloud.storage")
+    gcs_mod.Client = _Client
+    cloud_mod = types.ModuleType("google.cloud")
+    cloud_mod.storage = gcs_mod
+    google_mod = types.ModuleType("google")
+    google_mod.cloud = cloud_mod
+    monkeypatch.setitem(sys.modules, "google", google_mod)
+    monkeypatch.setitem(sys.modules, "google.cloud", cloud_mod)
+    monkeypatch.setitem(sys.modules, "google.cloud.storage", gcs_mod)
+
+    out = st.storage_from_config({"bucket": "bkt"})
+    assert isinstance(out, st.GcsClientStorage)
+    assert created.get("yes")
+
+    # no bucket -> local store under the framework home
+    monkeypatch.setenv("DEEPEMIA_TPU_HOME", str(tmp_path / "home"))
+    import deepemia_tpu.config.config as cfg
+
+    cfg._default_store = None
+    out2 = st.storage_from_config({})
+    assert isinstance(out2, st.LocalStorage)
+    cfg._default_store = None

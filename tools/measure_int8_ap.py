@@ -54,14 +54,18 @@ def main():
         flax_predict_np,
         make_blob_records,
         match_detections,
+        parity_model_dir,
     )
 
     train_recs = make_blob_records(os.path.join(work, "train_imgs"), 16, seed=0)
     test_recs = make_blob_records(
         os.path.join(work, "test_imgs"), args.n_test, seed=100
     )
+    # same persistent model cache as the parity harness/test: the detector
+    # is trained once (possibly on TPU via run_parity.py --train-only) and
+    # every evidence tool evaluates the SAME checkpoint
     model, params, _sd, _metrics = ensure_blob_detector(
-        train_recs, os.path.join(work, "model"), steps=args.steps
+        train_recs, parity_model_dir(work, 50, args.steps), steps=args.steps
     )
 
     modes = ["none", "trunk", "full"]
