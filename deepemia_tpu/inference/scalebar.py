@@ -280,26 +280,82 @@ def read_scale_text(gray: np.ndarray):
         return "", None, None, []
     heights = [c[3] for c in comps if c[3] >= 5]
     med_h = int(np.median(heights)) if heights else 8
-    split = []
-    for x, y, w, h in comps:
-        if w > 1.6 * h:
-            split.extend(_split_wide(thr, x, y, w, h))
-        else:
-            split.append((x, y, w, h))
-    split.sort(key=lambda c: c[0])
+    bottoms = [y + h for _, y, _, h in comps if h >= 5]
+    med_bottom = float(np.median(bottoms)) if bottoms else float(med_h)
     templates = _glyph_templates(max(med_h, 8))
-    chars = []
-    accepted = []
-    prev_end = None
-    for x, y, w, h in split:
-        patch = thr[y : y + h, x : x + w]
-        is_small = h < 0.5 * med_h
+
+    def _classify(box):
+        bx, by, bw, bh = box
+        patch = thr[by : by + bh, bx : bx + bw]
+        is_small = bh < 0.5 * med_h
         ch, score = _read_glyph(
             patch,
             # a dot is the only glyph much shorter than the line height;
             # conversely full-height components must not classify as '.'
             [(c, t) for c, t in templates if (c == ".") == is_small],
         )
+        if is_small and score < 0.6:
+            # a solid (near-constant) dot defeats NCC — zero variance on
+            # either side makes every correlation undefined. Bitmap-font
+            # dots are solid squares (tests/test_scalebar_foreign.py);
+            # classify small, filled, baseline-anchored blobs as '.'.
+            fill = float((patch > 0).mean())
+            low = by + bh >= med_bottom - 0.35 * med_h
+            if fill > 0.55 and low and 0.4 <= bw / max(bh, 1) <= 2.5:
+                ch, score = ".", 0.7
+        return box, ch, score
+
+    def _best_segmentation(x, y, w, h):
+        """Read a wide blob as the best-scoring contiguous grouping of its
+        valley pieces.
+
+        A wide blob may be a naturally wide glyph (bold 'm'), a merged
+        glyph pair ('nm' bridged by JPEG artifacts), or both — and the
+        valley split alone over-cuts double-stemmed glyphs (bold 'n' has a
+        baseline gap between its stems, reading as '11'). Enumerate every
+        contiguous grouping of the pieces and keep the one whose glyphs
+        score highest on average (measured on the foreign-renderer corpus,
+        tests/test_scalebar_foreign.py: serif-bold 'nm' -> '11m' without
+        this)."""
+        pieces = _split_wide(thr, x, y, w, h) if w > 1.6 * h else [(x, y, w, h)]
+        k = len(pieces)
+        if k == 1:
+            return [_classify(pieces[0])]
+        if k > 7:  # pathological blob; avoid 2^k enumeration
+            return [_classify(b) for b in pieces]
+        spans = {}
+        for i in range(k):
+            for j in range(i + 1, k + 1):
+                bx = pieces[i][0]
+                bw = pieces[j - 1][0] + pieces[j - 1][2] - bx
+                # no single glyph is much wider than 2.6x the line height
+                if bw <= 2.6 * h or (i, j) == (0, k):
+                    spans[(i, j)] = _classify((bx, y, bw, h))
+        best = None
+        for mask in range(1 << (k - 1)):
+            cuts = (
+                [0]
+                + [i + 1 for i in range(k - 1) if mask >> i & 1]
+                + [k]
+            )
+            segs = list(zip(cuts[:-1], cuts[1:]))
+            if any(s not in spans for s in segs):
+                continue
+            rr = [spans[s] for s in segs]
+            mean = float(np.mean([sc for _, _, sc in rr]))
+            if best is None or mean > best[0]:
+                best = (mean, rr)
+        return best[1]
+
+    comps.sort(key=lambda c: c[0])
+    reads = []
+    for box in comps:
+        reads.extend(_best_segmentation(*box))
+
+    chars = []
+    accepted = []
+    prev_end = None
+    for (x, y, w, h), ch, score in reads:
         if score > 0.35:
             # word spacing: a gap much wider than glyph spacing separates
             # the value from the unit — keeps a misread unit stroke from
@@ -393,6 +449,24 @@ def parse_scale_tokens(
     all-letter token ("2" + "um"). Ranked by unit strength (explicit
     length unit > residual 'm' > none), then by distance to
     ``line_center``. Returns (value_um, raw) or None."""
+    # re-glue decimals the spacing heuristic split apart: wide-advance
+    # (bitmap/monospaced) fonts put glyph gaps near the word-space width,
+    # so "1.5" tokenizes as ["1", ".", "5"] (tests/test_scalebar_foreign.py)
+    merged: List[Tuple[str, Tuple[float, float]]] = []
+    for tok, center in tokens:
+        if merged:
+            pt, pc = merged[-1]
+            glue = (
+                re.fullmatch(r"\d+", pt) and re.fullmatch(r"\.\d*", tok)
+            ) or (pt.endswith(".") and re.match(r"\d", tok))
+            if glue:
+                merged[-1] = (
+                    pt + tok,
+                    ((pc[0] + center[0]) / 2.0, (pc[1] + center[1]) / 2.0),
+                )
+                continue
+        merged.append((tok, center))
+    tokens = merged
     cands = []
     for i, (tok, center) in enumerate(tokens):
         # a value token STARTS with a digit ("8.1mm", "500"); a number
@@ -426,9 +500,14 @@ def parse_scale_tokens(
         # annotated fields may carry length units); unit-LESS ones keep the
         # value-precedes-unit reading order — a later unit-less token is
         # usually the misread unit itself ("2 um" -> "2", "1171"), and
-        # glyph-box distance would prefer the garbage
+        # glyph-box distance would prefer the garbage.
+        # Rank: explicit unit (2) > plain number (0) > residual 'm' (1) — a
+        # digit-bearing token ending in a bare 'm' ("11m") is most often the
+        # unit itself with misread strokes ('u'->'11' under JPEG artifacts);
+        # letting it beat a clean number token would read "500 um" as 11.
+        rank = {2: 0, 0: 1, 1: 2}[strength]
         tiebreak = dist if strength > 0 else float(i)
-        cands.append((-strength, tiebreak, value * factor, m.group(1)))
+        cands.append((rank, tiebreak, value * factor, m.group(1)))
     if not cands:
         return None
     cands.sort()
