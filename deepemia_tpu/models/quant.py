@@ -51,10 +51,19 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dynamic symmetric per-tensor int8: (-amax, amax) -> (-127, 127)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    """Dynamic symmetric int8, per batch element (NHWC leading axis):
+    ``scale[b] = amax(|x[b]|) / 127``.
+
+    Per-element rather than per-tensor: in batched tile serving one
+    high-dynamic-range tile (a bright scale-bar strip, a charging artifact)
+    would otherwise coarsen the quantization grid of every other tile in
+    the batch. The dequant factor ``a_scale[b] * w_scale[co]`` broadcasts
+    as [B,1,1,1] * [co] with no extra cost."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127)
     return q.astype(jnp.int8), scale
 
 

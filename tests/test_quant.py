@@ -38,13 +38,24 @@ def test_quantize_activation_symmetric():
     x = jnp.asarray([[-4.0, 0.0, 2.0, 4.0]])
     q, scale = quantize_activation(x)
     assert q.dtype == jnp.int8
+    assert scale.shape == (1, 1)  # per batch element, broadcastable
     np.testing.assert_allclose(np.asarray(q[0]), [-127, 0, 64, 127], atol=1)
-    np.testing.assert_allclose(float(scale), 4.0 / 127.0, rtol=1e-6)
+    np.testing.assert_allclose(float(scale.squeeze()), 4.0 / 127.0, rtol=1e-6)
+
+
+def test_quantize_activation_per_batch_element():
+    # one outlier element must not coarsen the other elements' grids
+    x = jnp.stack([jnp.full((4,), 1.0), jnp.full((4,), 100.0)])
+    q, scale = quantize_activation(x)
+    np.testing.assert_allclose(
+        np.asarray(scale).squeeze(), [1.0 / 127.0, 100.0 / 127.0], rtol=1e-6
+    )
+    assert int(jnp.abs(q).max()) == 127 and int(jnp.abs(q).min()) == 127
 
 
 def test_quantize_activation_zero_input():
     q, scale = quantize_activation(jnp.zeros((4, 4)))
-    assert float(scale) > 0  # eps guard: no div-by-zero NaNs
+    assert float(scale.min()) > 0  # eps guard: no div-by-zero NaNs
     assert int(jnp.abs(q).max()) == 0
 
 
