@@ -151,9 +151,14 @@ class TileEngine:
         self.model = model
         if mesh is not None:
             # checkpoint-loaded params arrive committed to one device;
-            # shard_map needs them addressable on every mesh device
+            # shard_map needs them addressable on every mesh device. On a
+            # process-spanning mesh (multi-host pod) the committed arrays
+            # are not globally addressable — stage through host memory so
+            # every process provides the full (replicated) value.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if jax.process_count() > 1:
+                params = jax.device_get(params)
             params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.tile_size = tile_size
@@ -419,6 +424,14 @@ class TileEngine:
             )
             return merged, quality
 
+        if self.mesh is not None:
+            # explicit replication of the (small) result set: on a
+            # process-spanning mesh every host must be able to read it
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.jit(
+                program, out_shardings=NamedSharding(self.mesh, P())
+            )
         return jax.jit(program)
 
     # -- split serving: conv-pure feature program + Pallas heads program ----
@@ -608,10 +621,22 @@ class TileEngine:
                 class_aware=True,
             )
 
-        p0_j = jax.jit(p0)
+        if self.mesh is not None:
+            # P0's outputs (incl. the tile stack, which later feeds the
+            # P("tile")-spec'd P1) and P3's merged result are replicated:
+            # required for host reads on every process of a multi-host
+            # mesh, and cheap — the big intermediates (P1 feats / P2
+            # instance sets) stay tile-sharded between programs.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            p0_j = jax.jit(p0, out_shardings=rep)
+            p3_j = jax.jit(p3, out_shardings=rep)
+        else:
+            p0_j = jax.jit(p0)
+            p3_j = jax.jit(p3)
         p1_j = jax.jit(p1)
         p2_j = jax.jit(p2)
-        p3_j = jax.jit(p3)
 
         # static per-chunk offsets/validity from the (static) grid
         if tiling:
@@ -677,12 +702,19 @@ class TileEngine:
             )
         # keep the native dtype for the host->device transfer (uint8 images
         # move 4x less data than f32; the program casts on device)
-        image = jnp.asarray(image)
         if self.mesh is not None:
-            # a prefetched image may be committed to a single device
+            # replicate over the mesh in ONE transfer: device_put of the
+            # host array straight to the replicated sharding (jnp.asarray
+            # first would commit to device 0 and reshard = two transfers).
+            # On a process-spanning mesh a committed single-device array is
+            # not reshardable from host code, so go through numpy there.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if isinstance(image, jax.Array) and jax.process_count() > 1:
+                image = np.asarray(image)
             image = jax.device_put(image, NamedSharding(self.mesh, P()))
+        else:
+            image = jnp.asarray(image)
         inst, quality = self._compiled[key](self.params, image, settings)
         # quality stays a device scalar: forcing float() here would make
         # every infer() a host sync, serializing multi-dispatch callers
