@@ -229,6 +229,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
             "quantized_inference": Field(types=str, default="none"),
             # chips used for tile-sharded inference: 0 = all local devices
             "inference_chips": Field(types=int, default=0),
+            # >=2 chips + >=2 ensemble members: run each member on its own
+            # disjoint sub-mesh so the members execute concurrently
+            "ensemble_member_parallel": Field(types=bool, default=True),
             # accepted for reference-config compatibility; a no-op here —
             # per-mask files are never written (masks stay on device until
             # the RLE/PNG export), so there is nothing to clean up

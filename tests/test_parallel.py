@@ -7,13 +7,42 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from deepemia_tpu.parallel.mesh import pad_to_shards, tile_mesh
+from deepemia_tpu.parallel.mesh import (
+    pad_to_shards,
+    partition_devices,
+    tile_mesh,
+)
 
 
 def test_pad_to_shards():
     assert pad_to_shards(5, 4) == 8
     assert pad_to_shards(8, 4) == 8
     assert pad_to_shards(1, 8) == 8
+
+
+def test_partition_devices_contiguous():
+    devs = list(range(8))
+    assert partition_devices(devs, 2) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    assert partition_devices(devs, 3) == [[0, 1, 2], [3, 4, 5], [6, 7]]
+    assert partition_devices(devs, 1) == [devs]
+    # more groups than devices: one device per group, never empty
+    assert partition_devices(devs[:2], 5) == [[0], [1]]
+
+
+def test_member_meshes_gating():
+    from deepemia_tpu.inference.pipeline import InferencePipeline
+
+    mm = InferencePipeline._member_meshes
+    mesh = tile_mesh()
+    # disabled / single member / no mesh -> shared
+    assert mm(None, 2, True) == [None, None]
+    assert mm(mesh, 1, True) == [mesh]
+    assert mm(mesh, 2, False) == [mesh, mesh]
+    # enabled: two DISJOINT contiguous 4-device sub-meshes
+    subs = mm(mesh, 2, True)
+    assert [m.devices.size for m in subs] == [4, 4]
+    all_devs = [d for m in subs for d in m.devices.flat]
+    assert all_devs == list(mesh.devices.flat)
 
 
 @pytest.mark.slow
@@ -158,5 +187,56 @@ def test_split_serving_sharded_matches_single_device(tiny_r50):
     np.testing.assert_allclose(
         np.sort(np.asarray(inst_s.boxes)[vs], axis=0),
         np.sort(np.asarray(inst_m.boxes)[vm], axis=0),
+        atol=0.5,
+    )
+
+
+@pytest.mark.slow
+def test_member_parallel_ensemble_matches_shared_mesh(tiny_r50):
+    """Ensemble members on DISJOINT 4-device sub-meshes (the member-parallel
+    layout, VERDICT r3 weak #6) must produce the same merged detection set
+    as both members sharing the full 8-device mesh — the sub-meshing and
+    the cross-mesh re-homing in run_ensemble change scheduling only."""
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+    from deepemia_tpu.inference.ensemble import run_ensemble
+
+    assert len(jax.devices()) >= 8
+    model, params = tiny_r50
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(4)
+    img = (rng.random((200, 300, 3)) * 255).astype(np.float32)
+    hw = img.shape[:2]
+    kw = dict(tile_size=128, overlap_ratio=0.2, upscale_factor=1.0,
+              capacity=64, tile_batch=2)
+
+    groups = partition_devices(jax.devices(), 2)
+    disjoint = [
+        ("A", TileEngine(model, params, mesh=tile_mesh(devices=g), **kw), 1.0)
+        for g in groups
+    ]
+    shared_mesh = tile_mesh()
+    shared = [
+        ("A", TileEngine(model, params, mesh=shared_mesh, **kw), 1.0)
+        for _ in range(2)
+    ]
+
+    inst_d, q_d = run_ensemble(disjoint, img, settings, hw, apply_weights=False)
+    inst_s, q_s = run_ensemble(shared, img, settings, hw, apply_weights=False)
+    assert float(q_d) == pytest.approx(float(q_s))
+    vd = np.asarray(inst_d.valid)
+    vs = np.asarray(inst_s.valid)
+    assert vd.sum() == vs.sum()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_d.scores)[vd]),
+        np.sort(np.asarray(inst_s.scores)[vs]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_d.boxes)[vd], axis=0),
+        np.sort(np.asarray(inst_s.boxes)[vs], axis=0),
         atol=0.5,
     )
