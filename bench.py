@@ -648,10 +648,11 @@ def main() -> None:
         help="(kept for compatibility; every config already runs by default)",
     )
     ap.add_argument(
-        "--only", choices=["train", "int8", "e2e"], default=None,
+        "--only", choices=["train", "int8", "e2e", "tile"], default=None,
         help="run a single config (train: bounded-subprocess guard; "
         "int8: quantized-backbone tile throughput, trunk + full; "
-        "e2e: per-image pipeline seconds)",
+        "e2e: per-image pipeline seconds; tile: the headline throughput "
+        "alone, for quick perf iterations)",
     )
     ap.add_argument(
         "--smoke", action="store_true",
@@ -709,6 +710,10 @@ def main() -> None:
         _wait_for_backend(budget_s=900.0)
         for m in bench_e2e_images(jax, jnp, **e2e_sizes):
             print(json.dumps(m), flush=True)
+        return
+    if args.only == "tile":
+        _wait_for_backend(budget_s=900.0)
+        print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
         return
 
     # The tunneled TPU backend occasionally drops; a bare jax.devices()
