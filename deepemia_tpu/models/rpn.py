@@ -69,14 +69,16 @@ def select_proposals(
     delta decode (weights (1,1,1,1)), clip to image, drop tiny boxes, NMS per
     level (level-offset trick), global top ``post_nms_topk``.
     """
-    all_boxes, all_scores, all_levels, all_valid = [], [], [], []
-    for li, lv in enumerate(LEVELS):
+    all_boxes, all_scores, all_valid = [], [], []
+    k_max = 0
+    for lv in LEVELS:
         if lv not in logits:
             continue
         score = logits[lv].reshape(-1).astype(jnp.float32)  # [H*W*A]
         delta = regs[lv].reshape(-1, 4).astype(jnp.float32)
         anch = anchors[lv]
         k = min(pre_nms_topk, score.shape[0])
+        k_max = max(k_max, k)
         top_scores, idx = jax.lax.top_k(score, k)
         boxes = box_ops.apply_deltas(
             anch[idx], delta[idx], weights=(1.0, 1.0, 1.0, 1.0)
@@ -87,15 +89,30 @@ def select_proposals(
         valid = (w > min_size) & (h > min_size)
         all_boxes.append(boxes)
         all_scores.append(top_scores)
-        all_levels.append(jnp.full((k,), li, jnp.int32))
         all_valid.append(valid)
 
-    boxes = jnp.concatenate(all_boxes)
-    scores = jnp.concatenate(all_scores)
-    levels = jnp.concatenate(all_levels)
-    valid = jnp.concatenate(all_valid)
+    # Boxes of different levels never suppress each other (Detectron2's
+    # level-offset batched NMS), so run NMS per level, vmapped over a
+    # [L, k_max] stack: L small matrices instead of one (L*k)^2 monster —
+    # 4.7x less IoU-matrix work and 5x fewer sequential NMS scan steps at
+    # the 1024-tile geometry (measured 1.7 ms -> per-level on v5e,
+    # tools/profile_p2_kernels.py).
+    def _pad(x, fill):
+        p = k_max - x.shape[0]
+        return jnp.pad(x, ((0, p),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill) if p else x
 
-    keep = box_ops.batched_nms_mask(boxes, scores, levels, nms_threshold, valid=valid)
+    boxes_l = jnp.stack([_pad(b, 0.0) for b in all_boxes])
+    scores_l = jnp.stack([_pad(s, -jnp.inf) for s in all_scores])
+    valid_l = jnp.stack([_pad(v, False) for v in all_valid])
+
+    keep_l = jax.vmap(
+        lambda b, s, v: box_ops.nms_mask(b, s, nms_threshold, valid=v)
+    )(boxes_l, scores_l, valid_l)
+
+    boxes = boxes_l.reshape(-1, 4)
+    scores = scores_l.reshape(-1)
+    keep = keep_l.reshape(-1)
     sel_scores = jnp.where(keep, scores, -jnp.inf)
     k = min(post_nms_topk, boxes.shape[0])
     top, idx = jax.lax.top_k(sel_scores, k)

@@ -56,6 +56,14 @@ def main() -> None:
         default="ABCDP",
         help="subset of A(select) B(box) C(nms) D(mask) P(whole P2) to run",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="in-program lax.scan repetitions per dispatch: amortizes the "
+        "per-dispatch RPC latency (dominant over a device tunnel) so stage "
+        "times reflect device time, not round trips",
+    )
     args = ap.parse_args()
 
     import jax
@@ -84,20 +92,55 @@ def main() -> None:
     feat_shapes = {k: (v.shape[1], v.shape[2]) for k, v in feats.items()}
     anchors = anchor_lib.all_anchors(feat_shapes)
 
+    def _scalar_of(tree):
+        return sum(
+            jnp.sum(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(tree)
+            if hasattr(l, "astype")
+        )
+
     def timed(name, fn, *fargs):
-        j = jax.jit(fn)
-        out = j(*fargs)
+        reps = max(1, args.reps)
+        if reps == 1:
+            j = jax.jit(fn)
+            run_args = fargs
+        else:
+            # Repeat the stage inside ONE program: a loop-carried scalar
+            # perturbs every float input by a compile-time-unknown (and
+            # numerically negligible) amount, so XLA cannot hoist the stage
+            # body out of the scan, and the per-dispatch RPC latency is
+            # amortized over `reps` on-device executions.
+            def repeated(*a):
+                def body(c, _):
+                    pert = jax.tree_util.tree_map(
+                        lambda l: l + (c * 1e-24).astype(l.dtype)
+                        if hasattr(l, "dtype")
+                        and jnp.issubdtype(l.dtype, jnp.floating)
+                        else l,
+                        a,
+                    )
+                    out = fn(*pert)
+                    return _scalar_of(out) * 1e-30, None
+                c, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=reps
+                )
+                return c
+            j = jax.jit(repeated)
+            run_args = fargs
+        out = j(*run_args)
         _sync(out, jax, jnp)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = j(*fargs)
+            out = j(*run_args)
         _sync(out, jax, jnp)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = (time.perf_counter() - t0) / (args.iters * reps)
         print(
             f"{name:34s} {dt * 1e3:9.2f} ms/batch  "
             f"{dt * 1e3 / args.batch:7.2f} ms/tile",
             flush=True,
         )
+        if reps > 1:
+            return None  # scan-repeat mode returns only the carry scalar
         return out
 
     from deepemia_tpu.config.constants import StaticShapes
