@@ -27,7 +27,7 @@ import numpy as np
 log = logging.getLogger("deepemia_tpu.scalebar")
 
 GLYPHS = "0123456789.umnµ"
-_TEMPLATE_CACHE: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+_TEMPLATE_CACHE: Dict[Tuple[int, float], List[Tuple[str, np.ndarray]]] = {}
 
 # multi-font atlas: annotation software uses many fonts (the reference's
 # EasyOCR is font-agnostic); template correlation against a single font
@@ -122,6 +122,98 @@ def scale_line_candidates(
     return out
 
 
+def _group_angle_deg(g: dict) -> float:
+    """Signed tilt of a merged run group (degrees, y-down screen coords)."""
+    members = g["members"]
+    if len(members) >= 3:
+        xs = np.array(
+            [m["x_start"] + m["length"] / 2.0 for m in members], np.float64
+        )
+        rows = np.array([m["row"] for m in members], np.float64)
+        if float(np.ptp(xs)) >= 1.0:
+            slope = float(np.polyfit(xs, rows, 1)[0])
+            return float(np.degrees(np.arctan(slope)))
+    dx = max(g["x1"] - g["x0"], 1)
+    return float(np.degrees(np.arctan2(g["row_end"] - g["row_start"], dx)))
+
+
+def merge_collinear_candidates(
+    cands: List[dict], merge_gap: int = 15, row_tol: int = 3
+) -> List[dict]:
+    """Merge per-row runs into (possibly slightly rotated) line segments —
+    the analog of the reference's merge_collinear_segments
+    (scalebar_ocr.py:376-463, gap + y-tolerance chaining).
+
+    A bar rotated a few degrees leaves the 3-row detection band every
+    ``~3/tan(angle)`` columns, so it appears as a chain of shorter runs on
+    consecutive rows; chaining them (x-gap <= ``merge_gap``, row step <=
+    ``row_tol`` from the chain's right end) recovers the full bar, with
+    ``length`` = hypot(x-extent, row-extent) — the bar's true length, which
+    is what the um/px calibration divides by. Groups whose row extent is
+    NOT line-like (> max(4, 0.15 * x-extent), i.e. steeper than ~8.5°) are
+    returned unmerged: text rows chain the same way but are tall.
+    """
+    ordered = sorted(cands, key=lambda c: (c["x_start"], c["row"]))
+    groups: List[dict] = []
+    for c in ordered:
+        cx0 = c["x_start"]
+        cx1 = c["x_start"] + c["length"]
+        for g in groups:
+            if (
+                cx0 <= g["x1"] + merge_gap
+                and cx1 >= g["x0"] - merge_gap
+                and abs(c["row"] - g["row_end"]) <= row_tol
+            ):
+                if cx0 < g["x0"]:
+                    g["x0"] = cx0
+                    g["row_start"] = c["row"]
+                if cx1 > g["x1"]:
+                    g["x1"] = cx1
+                    g["row_end"] = c["row"]
+                g["row_min"] = min(g["row_min"], c["row"])
+                g["row_max"] = max(g["row_max"], c["row"])
+                g["intensity"] = max(g["intensity"], c["intensity"])
+                g["members"].append(c)
+                break
+        else:
+            groups.append(
+                {
+                    "x0": cx0,
+                    "x1": cx1,
+                    "row_min": c["row"],
+                    "row_max": c["row"],
+                    "row_start": c["row"],
+                    "row_end": c["row"],
+                    "intensity": c["intensity"],
+                    "members": [c],
+                }
+            )
+    out: List[dict] = []
+    for g in groups:
+        dx = g["x1"] - g["x0"]
+        dy = g["row_max"] - g["row_min"]
+        if len(g["members"]) > 1 and dy > max(4, 0.15 * dx):
+            out.extend(g["members"])  # not line-like: keep runs separate
+            continue
+        out.append(
+            {
+                "row": int(round((g["row_min"] + g["row_max"]) / 2.0)),
+                "x_start": g["x0"],
+                "length": int(round(float(np.hypot(dx, dy)))),
+                "intensity": g["intensity"],
+                # signed tilt (screen coords, y down) — drives the deskewed
+                # re-read in detect_scale_bar. Least-squares slope over the
+                # member runs' midpoints: the endpoint rows alone
+                # underestimate the tilt by up to the 3-row band height
+                # (±1.5 row over a short end run), which at 4° leaves a
+                # ~2° residual after deskew — enough to still misread '5'
+                # as '6'.
+                "angle_deg": _group_angle_deg(g),
+            }
+        )
+    return out
+
+
 def find_scale_line(
     gray: np.ndarray,
     intensity: float = 100,
@@ -176,11 +268,31 @@ def _render_ttf(ch: str, height: int, path: str) -> Optional[np.ndarray]:
     return _crop_glyph(np.array(img))
 
 
-def _glyph_templates(height: int) -> List[Tuple[str, np.ndarray]]:
+def _rotate_template(t: np.ndarray, angle_deg: float) -> Optional[np.ndarray]:
+    pad = max(2, int(0.3 * max(t.shape)))
+    c = np.pad(t, pad)
+    M = cv2.getRotationMatrix2D(
+        (c.shape[1] / 2.0, c.shape[0] / 2.0), angle_deg, 1.0
+    )
+    r = cv2.warpAffine(c, M, (c.shape[1], c.shape[0]), flags=cv2.INTER_LINEAR)
+    return _crop_glyph(r)
+
+
+def _glyph_templates(
+    height: int, angle_deg: float = 0.0
+) -> List[Tuple[str, np.ndarray]]:
     """Multi-font glyph atlas at a given pixel height: Hershey simplex +
-    duplex (cv2) and available TrueType faces (PIL)."""
-    if height in _TEMPLATE_CACHE:
-        return _TEMPLATE_CACHE[height]
+    duplex (cv2) and available TrueType faces (PIL).
+
+    ``angle_deg`` (cv2 convention, counterclockwise positive) rotates the
+    atlas: when the scale bar — and with it the label — is tilted, matching
+    the ORIGINAL crisp glyphs against equally tilted templates beats
+    deskewing the image (warp interpolation smears a blocky '5' into a
+    '6'; measured on the rotated corpus in tests/test_scalebar_foreign.py).
+    """
+    key = (height, round(float(angle_deg), 1))
+    if key in _TEMPLATE_CACHE:
+        return _TEMPLATE_CACHE[key]
     out = []
     for ch in GLYPHS:
         for face in (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX):
@@ -191,7 +303,14 @@ def _glyph_templates(height: int) -> List[Tuple[str, np.ndarray]]:
             t = _render_ttf(ch, height, path)
             if t is not None:
                 out.append((ch, t))
-    _TEMPLATE_CACHE[height] = out
+    if abs(angle_deg) > 1e-6:
+        out = [
+            (ch, rt)
+            for ch, t in out
+            for rt in (_rotate_template(t, angle_deg),)
+            if rt is not None
+        ]
+    _TEMPLATE_CACHE[key] = out
     return out
 
 
@@ -258,6 +377,15 @@ def read_scale_text(gray: np.ndarray):
     each whitespace-separated token — the analog of the reference's
     per-box EasyOCR results used for line↔text proximity scoring and
     value↔line association (scalebar_ocr.py:186-189,241-244)."""
+    text, center, bbox, tokens, _score, _n = _read_scale_text_scored(gray)
+    return text, center, bbox, tokens
+
+
+def _read_scale_text_scored(gray: np.ndarray, template_angle: float = 0.0):
+    """``read_scale_text`` plus the mean accepted-glyph NCC score — the
+    read-quality signal ``detect_scale_bar`` uses to pick between its
+    raw and denoised reading hypotheses. ``template_angle`` matches a
+    tilted label against an equally tilted glyph atlas."""
     # 2x cubic upscale before binarization: reconnects thin serif strokes
     # that noise/JPEG/blur would otherwise fragment into bare stems
     gray = cv2.resize(gray, None, fx=2, fy=2, interpolation=cv2.INTER_CUBIC)
@@ -277,12 +405,30 @@ def read_scale_text(gray: np.ndarray):
             continue
         comps.append((x, y, w, h))
     if not comps:
-        return "", None, None, []
+        return "", None, None, [], -1.0, 0
     heights = [c[3] for c in comps if c[3] >= 5]
     med_h = int(np.median(heights)) if heights else 8
     bottoms = [y + h for _, y, _, h in comps if h >= 5]
     med_bottom = float(np.median(bottoms)) if bottoms else float(med_h)
-    templates = _glyph_templates(max(med_h, 8))
+    # drop glyph FRAGMENTS: a small blob whose x-center lies under a tall
+    # component is a piece JPEG/noise broke off that glyph (a '5' losing
+    # its lower-left corner), not a decimal dot — a real '.' sits BETWEEN
+    # glyphs ("500" would otherwise read "5.00", a 100x value error)
+    tall = [c for c in comps if c[3] >= 0.7 * med_h]
+
+    def _is_fragment(c):
+        x, y, w, h = c
+        if h >= 0.5 * med_h or w >= 0.5 * med_h:
+            return False
+        cx = x + w / 2.0
+        return any(
+            tx <= cx <= tx + tw for tx, _ty, tw, _th in tall if (tx, _ty, tw, _th) != c
+        )
+
+    comps = [c for c in comps if not _is_fragment(c)]
+    if not comps:
+        return "", None, None, [], -1.0, 0
+    templates = _glyph_templates(max(med_h, 8), template_angle)
 
     def _classify(box):
         bx, by, bw, bh = box
@@ -317,10 +463,35 @@ def read_scale_text(gray: np.ndarray):
         score highest on average (measured on the foreign-renderer corpus,
         tests/test_scalebar_foreign.py: serif-bold 'nm' -> '11m' without
         this)."""
-        pieces = _split_wide(thr, x, y, w, h) if w > 1.6 * h else [(x, y, w, h)]
+        # split trigger 1.35h: a merged '00' at small font sizes is only
+        # ~1.55h wide, while natural wide glyphs ('m' ~1.4h) are protected
+        # by the enumeration below keeping the unsplit grouping as a
+        # candidate
+        pieces = (
+            _split_wide(thr, x, y, w, h) if w > 1.35 * h else [(x, y, w, h)]
+        )
         k = len(pieces)
         if k == 1:
-            return [_classify(pieces[0])]
+            whole = _classify(pieces[0])
+            if w > 1.35 * h:
+                # no ink valley found, but the blob is still glyph-pair
+                # wide: heavy antialiasing at small font sizes bridges a
+                # '00' with enough ink that no column dips low. Try an
+                # equal-width split into round(w/h) near-square glyphs and
+                # keep it only when its glyphs clearly outscore the
+                # whole-blob reading.
+                n_eq = max(2, int(round(w / float(h))))
+                bounds = [x + int(round(i * w / n_eq)) for i in range(n_eq + 1)]
+                eq = [
+                    _classify(
+                        (bounds[i], y, bounds[i + 1] - bounds[i], h)
+                    )
+                    for i in range(n_eq)
+                ]
+                eq_mean = float(np.mean([sc for _, _, sc in eq]))
+                if eq_mean > whole[2] + 0.1:
+                    return eq
+            return [whole]
         if k > 7:  # pathological blob; avoid 2^k enumeration
             return [_classify(b) for b in pieces]
         spans = {}
@@ -354,6 +525,7 @@ def read_scale_text(gray: np.ndarray):
 
     chars = []
     accepted = []
+    accepted_scores = []
     prev_end = None
     for (x, y, w, h), ch, score in reads:
         if score > 0.35:
@@ -364,10 +536,11 @@ def read_scale_text(gray: np.ndarray):
                 chars.append(" ")
             chars.append(ch)
             accepted.append((x, y, w, h))
+            accepted_scores.append(float(score))
             prev_end = x + w
     text = "".join(chars)
     if not accepted:
-        return text, None, None, []
+        return text, None, None, [], -1.0, 0
     # whitespace-separated tokens with their glyph-box centers (ROI pixels;
     # glyph coordinates are on the 2x-upscaled image, so halve back) — the
     # analog of EasyOCR's per-box results, needed to associate the VALUE
@@ -400,7 +573,8 @@ def read_scale_text(gray: np.ndarray):
     by0 = min(y for x, y, w, h in accepted) / 2.0
     bx1 = max(x + w for x, y, w, h in accepted) / 2.0
     by1 = max(y + h for x, y, w, h in accepted) / 2.0
-    return text, (cx, cy), (bx0, by0, bx1, by1), tokens
+    mean_score = float(np.mean(accepted_scores))
+    return text, (cx, cy), (bx0, by0, bx1, by1), tokens, mean_score, len(accepted)
 
 
 def _unit_factor(rest: str) -> Tuple[float, int]:
@@ -426,12 +600,18 @@ def _unit_factor(rest: str) -> Tuple[float, int]:
 def parse_scale_value(text: str) -> Optional[Tuple[float, str]]:
     """First numeric token + unit from recognized text (reference takes the
     first numeric token, scalebar_ocr.py:169-189). Returns (value_um, raw)."""
+    full = _parse_scale_value_full(text)
+    return None if full is None else full[:2]
+
+
+def _parse_scale_value_full(text: str) -> Optional[Tuple[float, str, int]]:
+    """``parse_scale_value`` plus the unit strength (0/1/2)."""
     m = re.search(r"(\d+(?:\.\d+)?)", text)
     if not m:
         return None
     value = float(m.group(1))
-    factor, _ = _unit_factor(text[m.end() :])
-    return value * factor, m.group(1)
+    factor, strength = _unit_factor(text[m.end() :])
+    return value * factor, m.group(1), strength
 
 
 def parse_scale_tokens(
@@ -449,6 +629,15 @@ def parse_scale_tokens(
     all-letter token ("2" + "um"). Ranked by unit strength (explicit
     length unit > residual 'm' > none), then by distance to
     ``line_center``. Returns (value_um, raw) or None."""
+    full = _parse_scale_tokens_full(tokens, line_center)
+    return None if full is None else full[:2]
+
+
+def _parse_scale_tokens_full(
+    tokens: List[Tuple[str, Tuple[float, float]]],
+    line_center: Optional[Tuple[float, float]],
+) -> Optional[Tuple[float, str, int]]:
+    """``parse_scale_tokens`` plus the winning candidate's unit strength."""
     # re-glue decimals the spacing heuristic split apart: wide-advance
     # (bitmap/monospaced) fonts put glyph gaps near the word-space width,
     # so "1.5" tokenizes as ["1", ".", "5"] (tests/test_scalebar_foreign.py)
@@ -506,13 +695,19 @@ def parse_scale_tokens(
         # unit itself with misread strokes ('u'->'11' under JPEG artifacts);
         # letting it beat a clean number token would read "500 um" as 11.
         rank = {2: 0, 0: 1, 1: 2}[strength]
+        if strength > 0 and re.search(r"\d", rest):
+            # digits INSIDE the unit text ("11n1" = blurred 'um') mark the
+            # "value" as misread unit strokes too — demote below everything
+            # so a clean number token elsewhere wins ("500 11n1" must read
+            # 500, not 11 nm); a lone candidate still parses.
+            rank = 3
         tiebreak = dist if strength > 0 else float(i)
-        cands.append((rank, tiebreak, value * factor, m.group(1)))
+        cands.append((rank, tiebreak, value * factor, m.group(1), strength))
     if not cands:
         return None
     cands.sort()
-    _, _, value_um, raw = cands[0]
-    return value_um, raw
+    _, _, value_um, raw, strength = cands[0]
+    return value_um, raw, strength
 
 
 def detect_scale_bar(
@@ -549,15 +744,8 @@ def detect_scale_bar(
             roi = 255 - roi  # dark-bar-on-bright annotation style
         thr = config.get("scalebar_thresholds", {})
         intensity_thr = thr.get("intensity", 100)
-        cands = scale_line_candidates(
-            roi,
-            intensity=intensity_thr,
-            merge_gap=int(thr.get("merge_gap", 15)),
-            min_line_length=int(thr.get("min_line_length", 30)),
-            edge_margin_factor=thr.get("edge_margin_factor", 0.1),
-        )
-        text, text_center, tbox, text_tokens = read_scale_text(roi)
-        debug["text"] = text
+        merge_gap = int(thr.get("merge_gap", 15))
+        min_line_length = int(thr.get("min_line_length", 30))
         # Line selection mirrors the reference's criteria chain
         # (scalebar_ocr.py:303-309): the chosen line must be bright along its
         # length (mean intensity > threshold), near the recognized text
@@ -566,67 +754,189 @@ def detect_scale_bar(
         # annotation underlines far from the label lose to these filters
         # even when longer than the bar.
         proximity = float(thr.get("proximity", 100))
-        # structural lines: a run spanning the whole usable ROI width is an
-        # info-strip separator / panel border, not a scale bar (SEM info
-        # bars place a full-width rule directly above the annotation text,
-        # inside any proximity radius). Demote such runs: they can only be
-        # chosen when no non-spanning candidate qualifies (a dataset ROI
-        # drawn tightly around the bar itself stays detectable).
-        margin_px = int(roi.shape[1] * float(thr.get("edge_margin_factor", 0.1)))
+        emf = float(thr.get("edge_margin_factor", 0.1))
 
-        def _spans_roi(c):
-            return (
-                c["x_start"] <= margin_px + 1
-                and c["x_start"] + c["length"] >= roi.shape[1] - margin_px - 2
+        def _line_candidates(roi_img, transposed):
+            # sub-runs of a slightly rotated bar are shorter than the bar:
+            # detect at a reduced floor, then chain collinear runs back
+            # into full segments and apply the configured floor to the
+            # MERGED length
+            merged = merge_collinear_candidates(
+                scale_line_candidates(
+                    np.ascontiguousarray(roi_img.T) if transposed else roi_img,
+                    intensity=intensity_thr,
+                    merge_gap=merge_gap,
+                    min_line_length=max(8, min_line_length // 3),
+                    edge_margin_factor=emf,
+                ),
+                merge_gap=merge_gap,
             )
+            return [c for c in merged if c["length"] >= min_line_length]
 
-        line = None
-        for allow_spanning in (False, True):
-            for c in sorted(cands, key=lambda c: -c["length"]):
-                if c["intensity"] <= intensity_thr:
-                    continue
-                if _spans_roi(c) and not allow_spanning:
-                    continue
+        def _cand_geometry(c, vertical):
+            """(center_xy, extent_box) of a candidate in ROI coordinates."""
+            if vertical:
+                cx = float(c["row"])
+                cy = c["x_start"] + c["length"] / 2.0
+                box = (c["row"], c["x_start"], c["row"],
+                       c["x_start"] + c["length"])
+            else:
                 cx = c["x_start"] + c["length"] / 2.0
-                if tbox is not None:
-                    # run lies within the text block (glyph strokes bridged
-                    # into a pseudo-line): skip — the bar sits outside the
-                    # label box
-                    bx0, by0, bx1, by1 = tbox
-                    if (
-                        by0 - 2 <= c["row"] <= by1 + 2
-                        and c["x_start"] >= bx0 - 2
-                        and c["x_start"] + c["length"] <= bx1 + 2
-                    ):
+                cy = float(c["row"])
+                box = (c["x_start"], c["row"],
+                       c["x_start"] + c["length"], c["row"])
+            return (cx, cy), box
+
+        def _select_line(roi_img, cand_list, vertical, tbox, text_center):
+            # structural lines: a run spanning the whole usable ROI extent
+            # is an info-strip separator / panel border, not a scale bar
+            # (SEM info bars place a full-width rule directly above the
+            # annotation text, inside any proximity radius). Demote such
+            # runs: they can only be chosen when no non-spanning candidate
+            # qualifies (a dataset ROI drawn tightly around the bar itself
+            # stays detectable).
+            span = roi_img.shape[1 - int(vertical)]
+            margin_px = int(span * emf)
+
+            def _spans_roi(c):
+                return (
+                    c["x_start"] <= margin_px + 1
+                    and c["x_start"] + c["length"] >= span - margin_px - 2
+                )
+
+            for allow_spanning in (False, True):
+                for c in sorted(cand_list, key=lambda c: -c["length"]):
+                    if c["intensity"] <= intensity_thr:
                         continue
-                if text_center is not None:
-                    dist = float(
-                        np.hypot(cx - text_center[0], c["row"] - text_center[1])
-                    )
-                    if dist >= proximity:
+                    if _spans_roi(c) and not allow_spanning:
                         continue
-                line = (c["row"], c["x_start"], c["length"])
-                break
-            if line is not None:
-                break
-        if line is not None:
-            row, xs, length = line
-            debug["line"] = (x0 + xs, y0 + row, x0 + xs + length, y0 + row)
-        line_center = (
-            (line[1] + line[2] / 2.0, float(line[0]))
-            if line is not None
-            else None
-        )
-        parsed = parse_scale_tokens(text_tokens, line_center)
-        if parsed is None:
-            parsed = parse_scale_value(text)
-        if line is None or parsed is None:
+                    (ccx, ccy), ext = _cand_geometry(c, vertical)
+                    if tbox is not None:
+                        # run lies within the text block (glyph strokes
+                        # bridged into a pseudo-line): skip — the bar sits
+                        # outside the label box
+                        bx0, by0, bx1, by1 = tbox
+                        if (
+                            by0 - 2 <= ext[1]
+                            and ext[3] <= by1 + 2
+                            and ext[0] >= bx0 - 2
+                            and ext[2] <= bx1 + 2
+                        ):
+                            continue
+                    if text_center is not None:
+                        dist = float(
+                            np.hypot(
+                                ccx - text_center[0], ccy - text_center[1]
+                            )
+                        )
+                        if dist >= proximity:
+                            continue
+                    return c, vertical
+            return None
+
+        cands = _line_candidates(roi, transposed=False)
+        # vertical-bar fallback candidates (some annotation styles run the
+        # scale bar vertically beside horizontal text; the reference's
+        # ±10°-horizontal Hough filter could not see these): the same scan
+        # on the transposed ROI, used only when no horizontal line
+        # qualifies
+        cands_v = _line_candidates(roi, transposed=True)
+
+        def _evaluate(template_angle):
+            """All (level, score, line, parsed, text) reading hypotheses
+            for one glyph-atlas tilt.
+
+            Two reading hypotheses per tilt: the raw ROI and a
+            3x3-Gaussian-denoised one. Denoising reconnects glyphs
+            fragmented by sensor noise and suppresses JPEG ringing blobs,
+            but blurs fine serif-bold strokes into ambiguity; neither wins
+            everywhere (measured on tests/test_scalebar_foreign.py). Level
+            2 = token parse with an explicit length unit, 1 = any other
+            successful parse, 0 = no line/value."""
+            hyps = []
+            for g in (roi, cv2.GaussianBlur(roi, (3, 3), 0)):
+                text, text_center, tbox, text_tokens, score, n_glyphs = (
+                    _read_scale_text_scored(g, template_angle)
+                )
+                line = _select_line(roi, cands, False, tbox, text_center)
+                if line is None and cands_v:
+                    line = _select_line(roi, cands_v, True, tbox, text_center)
+                line_center = (
+                    _cand_geometry(*line)[0] if line is not None else None
+                )
+                strength = 0
+                parsed = _parse_scale_tokens_full(text_tokens, line_center)
+                if parsed is None:
+                    parsed = _parse_scale_value_full(text)
+                if parsed is not None:
+                    value_um, raw, strength = parsed
+                    parsed = (value_um, raw)
+                if line is None or parsed is None:
+                    level = 0
+                elif strength == 2:
+                    level = 2
+                else:
+                    level = 1
+                hyps.append((level, score, line, parsed, text, n_glyphs))
+            return hyps
+
+        hyps = _evaluate(0.0)
+        top = max(hyps, key=lambda h: (h[0], h[1]))
+        line = top[2]
+        if (
+            line is not None
+            and not line[1]
+            and abs(line[0].get("angle_deg", 0.0)) >= 1.2
+        ):
+            # a tilted bar tilts the label with it, and rotated glyphs
+            # misclassify against an upright atlas ('5' at 4° reads as
+            # '6'): add hypotheses that match the ORIGINAL crisp glyphs
+            # against an equally tilted atlas. The measured line angle is
+            # y-down (row over x); the cv2 template rotation convention is
+            # counterclockwise positive, so the atlas tilt is its negation.
+            hyps.extend(_evaluate(-line[0]["angle_deg"]))
+        # Arbitrate by value consensus: among the hypotheses at the highest
+        # parse level, group by the parsed value and keep the group with
+        # the highest summed (glyph score x glyph count) — single-hypothesis
+        # score ranking is brittle when a misread is one NCC hair above a
+        # correct read ('500' tilted 4° vs '600' blurred), and the glyph
+        # count penalizes reads that silently DROPPED glyphs (a double-blur
+        # '500 um' collapsing to '5 um' scores high on its 3 surviving
+        # glyphs); both measured on the corpora in
+        # tests/test_scalebar_{corpus,foreign}.py.
+        max_level = max(h[0] for h in hyps)
+        if max_level == 0:
+            top = max(hyps, key=lambda h: h[1])
+            debug["text"] = top[4]
             log.debug(
-                "Scale bar not detected (line=%s, text=%r) — fallback", line, text
+                "Scale bar not detected (line=%s, text=%r) — fallback",
+                top[2], top[4],
             )
             return _ret("0", 1.0)
+        pool = [h for h in hyps if h[0] == max_level]
+        weights: Dict[Tuple[str, float], float] = {}
+        for h in pool:
+            key = (h[3][1], round(h[3][0], 9))
+            weights[key] = weights.get(key, 0.0) + h[1] * h[5]
+        best_key = max(weights, key=lambda k: weights[k])
+        best = max(
+            (h for h in pool if (h[3][1], round(h[3][0], 9)) == best_key),
+            key=lambda h: h[1],
+        )
+        _level, _score, line, parsed, text, _n = best
+        debug["text"] = text
+        c, vertical = line
+        row, xs, length = c["row"], c["x_start"], c["length"]
+        if vertical:
+            p0, p1 = (row, xs), (row, xs + length)
+        else:
+            p0, p1 = (xs, row), (xs + length, row)
+        debug["line"] = (
+            int(round(x0 + p0[0])), int(round(y0 + p0[1])),
+            int(round(x0 + p1[0])), int(round(y0 + p1[1])),
+        )
         value_um, raw = parsed
-        um_pix = value_um / float(line[2])
+        um_pix = value_um / float(length)
         return _ret(raw, um_pix)
     except Exception as e:  # noqa: BLE001 - detection must never kill a run
         log.warning("Scale bar detection failed: %s — fallback", e)

@@ -95,8 +95,8 @@ def select_proposals(
     # level-offset batched NMS), so run NMS per level, vmapped over a
     # [L, k_max] stack: L small matrices instead of one (L*k)^2 monster —
     # 4.7x less IoU-matrix work and 5x fewer sequential NMS scan steps at
-    # the 1024-tile geometry (measured 1.7 ms -> per-level on v5e,
-    # tools/profile_p2_kernels.py).
+    # the 1024-tile geometry (monolithic NMS measured at 1.7 ms/tile on
+    # v5e, tools/profile_p2_kernels.py).
     def _pad(x, fill):
         p = k_max - x.shape[0]
         return jnp.pad(x, ((0, p),) + ((0, 0),) * (x.ndim - 1),

@@ -10,12 +10,18 @@ sources deliberately FOREIGN to the atlas:
   style SEM vendors burn into micrographs), nearest-neighbor upscaled;
 - DejaVu *Bold* faces (weight-foreign: the atlas holds only the regular
   cuts);
-- JPEG re-encode + sensor-noise degradations of both.
+- JPEG re-encode + sensor-noise degradations of both, including
+  JPEG-heavy (quality 25) and high-noise (sigma 20) variants;
+- geometric variants: tilted bars+labels (±2-6°, the collinear-merge +
+  tilted-atlas path), a VERTICAL bar beside horizontal text, and
+  dark-on-light (inverted polarity) renderings.
 
-Pass criteria: value+unit accuracy over the corpus within a failure-rate
-budget, and ZERO silent power-of-1000 unit confusions among successful
-reads (the reference's EasyOCR is font-agnostic — scalebar_ocr.py:149-195
-— so font generalization is part of the parity bar).
+Pass criteria: value+unit accuracy >= 0.97 over the corpus (VERDICT r4
+weak #7: a 1-in-10 miss budget was too loose for the value that
+multiplies every measurement in the CSV), and ZERO silent power-of-1000
+unit confusions among successful reads (the reference's EasyOCR is
+font-agnostic — scalebar_ocr.py:149-195 — so font generalization is part
+of the parity bar).
 """
 
 import zlib
@@ -133,6 +139,34 @@ def _render_bold(label, font_path, px=20, **deg):
     return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
 
 
+def _render_rotated(label, deg):
+    """Bar AND label tilted together (a crooked annotation overlay)."""
+    img = np.full((150, 460), 20, np.uint8)
+    _render_bitmap_text(img, label, 140, 12, 3, 230)
+    cv2.rectangle(img, (110, 90), (110 + BAR_LEN - 1, 93), 230, -1)
+    M = cv2.getRotationMatrix2D((230, 75), deg, 1.0)
+    img = cv2.warpAffine(img, M, (460, 150), borderValue=20)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
+def _render_vertical(label):
+    """Vertical bar beside horizontal text (the reference's ±10°-horizontal
+    Hough filter could not see these at all)."""
+    img = np.full((300, 460), 20, np.uint8)
+    _render_bitmap_text(img, label, 160, 120, 3, 230)
+    cv2.rectangle(img, (120, 40), (123, 40 + BAR_LEN - 1), 230, -1)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
+def _render_inverted(label, **deg):
+    """Dark bar/label on a bright background (optical-microscopy style)."""
+    img = np.full((110, 460), 235, np.uint8)
+    _render_bitmap_text(img, label, 140, 12, 3, 25)
+    cv2.rectangle(img, (110, 80), (110 + BAR_LEN - 1, 83), 25, -1)
+    img = _degrade(img, label, "inverted", **deg)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+
 def _corpus():
     for label, value_um in LABELS:
         for scale in (2, 3, 4):
@@ -142,8 +176,23 @@ def _corpus():
         yield "bitmap_x3_jpeg40", label, value_um, _render_bitmap(
             label, 3, jpeg=40
         )
+        yield "bitmap_x3_jpeg25", label, value_um, _render_bitmap(
+            label, 3, jpeg=25
+        )
         yield "bitmap_x3_noise", label, value_um, _render_bitmap(
             label, 3, noise=10.0
+        )
+        yield "bitmap_x3_noise20", label, value_um, _render_bitmap(
+            label, 3, noise=20.0
+        )
+        for deg in (2.0, -3.0, 4.0, 6.0):
+            yield f"rotated_{deg}", label, value_um, _render_rotated(
+                label, deg
+            )
+        yield "vertical_bar", label, value_um, _render_vertical(label)
+        yield "inverted", label, value_um, _render_inverted(label)
+        yield "inverted_jpeg40", label, value_um, _render_inverted(
+            label, jpeg=40
         )
         for name, path in _BOLD_FONTS.items():
             yield name, label, value_um, _render_bold(label, path)
@@ -153,7 +202,7 @@ def _corpus():
 
 
 def test_scalebar_foreign_renderer_corpus():
-    """Value+unit accuracy >= 90% across renderers the atlas has never
+    """Value+unit accuracy >= 97% across renderers the atlas has never
     seen, with ZERO power-of-1000 unit confusions among successful reads."""
     total = correct = 0
     unit_confusions = []
@@ -173,7 +222,7 @@ def test_scalebar_foreign_renderer_corpus():
                     unit_confusions.append((source, label, psum))
     acc = correct / total
     assert not unit_confusions, f"unit confusions: {unit_confusions}"
-    assert acc >= 0.90, (
+    assert acc >= 0.97, (
         f"foreign-renderer accuracy {acc:.1%} ({correct}/{total}); "
         f"failures: {failures[:20]}"
     )

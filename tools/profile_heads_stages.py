@@ -140,7 +140,12 @@ def main() -> None:
             flush=True,
         )
         if reps > 1:
-            return None  # scan-repeat mode returns only the carry scalar
+            # The scan-repeat program only returns the carry scalar; run one
+            # extra un-repeated dispatch so downstream stages receive the
+            # REAL stage output instead of silently falling back to the
+            # synthetic uniform stand-ins (which misattribute RoIAlign cost).
+            out = jax.jit(fn)(*fargs)
+            _sync(out, jax, jnp)
         return out
 
     from deepemia_tpu.config.constants import StaticShapes

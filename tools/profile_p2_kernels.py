@@ -122,7 +122,7 @@ def main() -> None:
 
     # synthetic per-tile intermediates (realistic shapes/distributions)
     n_cand = sum(
-        int(np.prod(logits[lv].shape)) and min(1000, int(np.prod(logits[lv].shape)))
+        min(StaticShapes.PRE_NMS_TOPK_TEST, int(np.prod(logits[lv].shape)))
         for lv in logits
     )
     cand_boxes = jnp.asarray(
