@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -660,14 +661,21 @@ def main() -> None:
         "correctness pass of the bench plumbing itself",
     )
     ap.add_argument(
-        "--train-budget-s", type=float, default=2700.0,
+        "--train-budget-s", type=float, default=1500.0,
         help="wall budget for the train-step config (its first-ever "
         "compile is 15-25 min on v5e; a cold cache must not starve the "
         "headline tile-throughput line, which the driver reads LAST)",
     )
+    ap.add_argument(
+        "--budget-s", type=float,
+        default=float(os.environ.get("DEEPEMIA_TPU_BENCH_BUDGET_S", 2700.0)),
+        help="total wall budget for the default run. Configs that would "
+        "start with too little budget left are skipped (with a stderr "
+        "note) so the run always finishes under its own power — the "
+        "round-4 record lost the headline to an external timeout "
+        "(BENCH_r04 rc=124); a self-bounded run cannot.",
+    )
     args = ap.parse_args()
-
-    import os
 
     import jax
     import jax.numpy as jnp
@@ -721,60 +729,99 @@ def main() -> None:
     # the whole driver budget before the headline prints. Probe the
     # backend in bounded subprocesses and wait for it to come back before
     # committing to any bench.
-    _wait_for_backend(budget_s=900.0)
+    start = time.perf_counter()
+    _wait_for_backend(budget_s=600.0)
 
-    # The train-step config runs FIRST, in a BOUNDED subprocess: its compile
-    # is the longest in the suite, and the one real TPU chip is behind a
-    # tunnel whose compiles occasionally wedge — the headline line (which
-    # the driver reads LAST) must still print. Running it before any parent
-    # bench also means the parent has not initialized its own TPU backend
-    # yet, so the two processes never contend for the single chip.
     import subprocess
     import sys
 
+    def remaining():
+        return args.budget_s - (time.perf_counter() - start)
+
+    # The HEADLINE tile throughput prints FIRST as well as last: the
+    # round-4 record (BENCH_r04 rc=124) was killed mid-run and lost
+    # exactly the number that matters most because it only printed at the
+    # end. An early print survives any later failure; the final repeat
+    # (same program, warm in-process jit cache) is what the driver parses
+    # as the last line.
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", "train"],
-            capture_output=True,
-            text=True,
-            timeout=args.train_budget_s,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-        if out.returncode != 0:
-            err_lines = out.stderr.strip().splitlines() or ["<no stderr>"]
+        headline = bench_tile_throughput(jax, jnp)
+        print(json.dumps(headline), flush=True)
+    except Exception as e:  # noqa: BLE001 - keep the rest of the run alive
+        headline = None
+        print(f"headline config failed: {e!r}", file=sys.stderr)
+
+    # The train-step config runs next, in a BOUNDED subprocess: its compile
+    # is the longest in the suite, and the one real TPU chip is behind a
+    # tunnel whose compiles occasionally wedge. A separate process also
+    # means a wedged compile cannot take the parent down with it.
+    train_budget = min(args.train_budget_s, max(0.0, remaining() - 300.0))
+    if train_budget > 120.0:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", "train"],
+                capture_output=True,
+                text=True,
+                timeout=train_budget,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if out.returncode != 0:
+                err_lines = out.stderr.strip().splitlines() or ["<no stderr>"]
+                print(
+                    f"train-step config failed (rc={out.returncode}): "
+                    + err_lines[-1][:200],
+                    file=sys.stderr,
+                )
+        except subprocess.TimeoutExpired:
             print(
-                f"train-step config failed (rc={out.returncode}): "
-                + err_lines[-1][:200],
+                f"train-step config skipped: exceeded {train_budget:.0f}s "
+                "budget (cold-cache compile); rerun `bench.py --only train`",
                 file=sys.stderr,
             )
-    except subprocess.TimeoutExpired:
-        print(
-            f"train-step config skipped: exceeded {args.train_budget_s:.0f}s "
-            "budget (cold-cache compile); rerun `bench.py --only train`",
-            file=sys.stderr,
-        )
+    else:
+        print("train-step config skipped: budget exhausted", file=sys.stderr)
 
-    # end-to-end next; the headline LAST (driver parses the last line).
-    # All BASELINE.md configs print by default so every round's BENCH
-    # artifact records the full trend (VERDICT r2 weak #8). Every non-
-    # headline config is isolated: one failure must not take out the rest.
-    for fn in (
-        lambda: [bench_tile_pipeline_4k(jax, jnp)],
-        lambda: [bench_tile_pipeline_4k(jax, jnp, upscale=1.0, suffix="_native")],
-        lambda: bench_e2e_images(jax, jnp, **e2e_sizes),
-        lambda: [bench_ensemble(jax, jnp)],
-        lambda: [bench_multiscale_iterative(jax, jnp)],
+    # Remaining BASELINE.md configs, budget-gated: each config only starts
+    # with >= 240s of budget left (warm-cache configs finish well inside
+    # that; a cold-cache compile overshooting eats into the 180s reserve
+    # kept for the final headline repeat, which is jit-warm and cheap).
+    # All configs print by default so every round's BENCH artifact records
+    # the full trend (VERDICT r2 weak #8), and each is isolated: one
+    # failure must not take out the rest.
+    for name, fn in (
+        ("tile_4k", lambda: [bench_tile_pipeline_4k(jax, jnp)]),
+        ("tile_4k_native",
+         lambda: [bench_tile_pipeline_4k(jax, jnp, upscale=1.0,
+                                         suffix="_native")]),
         # int8 serving in the headline artifact (VERDICT r3 next #2)
-        lambda: [bench_tile_throughput(jax, jnp, quant="trunk")],
+        ("int8_trunk", lambda: [bench_tile_throughput(jax, jnp, quant="trunk")]),
+        ("e2e", lambda: bench_e2e_images(jax, jnp, **e2e_sizes)),
+        ("ensemble", lambda: [bench_ensemble(jax, jnp)]),
+        ("multiscale", lambda: [bench_multiscale_iterative(jax, jnp)]),
     ):
+        if remaining() < 240.0 + 180.0:
+            print(
+                f"bench config {name} skipped: {remaining():.0f}s budget "
+                "left (< 420s gate)",
+                file=sys.stderr,
+            )
+            continue
         try:
             for m in fn():
                 print(json.dumps(m), flush=True)
         except Exception as e:  # noqa: BLE001 - keep the headline alive
-            print(f"bench config failed: {e!r}", file=sys.stderr)
-    print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
+            print(f"bench config {name} failed: {e!r}", file=sys.stderr)
+    # headline LAST (the driver parses the last line); re-measured rather
+    # than re-printed so the artifact keeps an end-of-run sample too
+    try:
+        print(json.dumps(bench_tile_throughput(jax, jnp)), flush=True)
+    except Exception as e:  # noqa: BLE001
+        if headline is not None:
+            print(json.dumps(headline), flush=True)
+        else:
+            raise
 
 
 if __name__ == "__main__":

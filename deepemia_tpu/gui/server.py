@@ -169,6 +169,20 @@ table{border-collapse:collapse}td,th{border:1px solid #ccc;padding:.2rem .6rem}
 <fieldset><legend>Results browser</legend>
 <p><a href="zip">Download everything as results.zip</a></p>
 <div id="files"></div></fieldset>
+<fieldset><legend>Storage: upload dataset</legend>
+<form id="upform">
+  Dataset: <input name="dataset" placeholder="dataset name">
+  Password: <input name="password" type="password">
+  <label><input type="checkbox" name="wipe" value="1">replace folder contents</label>
+  <input type="file" name="files" multiple>
+  <button>Upload</button> <span id="upmsg"></span>
+</form></fieldset>
+<fieldset><legend>Storage: archive browser</legend>
+<form id="lsform">
+  Prefix: <input name="prefix" value="Archive">
+  <button>List</button>
+</form>
+<div id="storefiles"></div></fieldset>
 <script>
 async function refresh(){
   const s = await (await fetch('status')).json();
@@ -207,6 +221,26 @@ document.getElementById('runform').onsubmit = async (ev)=>{
   const r = await (await fetch('run',{method:'POST',body})).json();
   document.getElementById('runmsg').textContent = r.error||'started';
 };
+document.getElementById('upform').onsubmit = async (ev)=>{
+  ev.preventDefault();
+  const fd = new FormData(ev.target);
+  const r = await (await fetch('upload_dataset',{method:'POST',body:fd})).json();
+  document.getElementById('upmsg').textContent =
+    r.error || ('uploaded '+r.uploaded+(r.wiped?' (folder replaced)':''));
+};
+document.getElementById('lsform').onsubmit = async (ev)=>{
+  ev.preventDefault();
+  const prefix = new FormData(ev.target).get('prefix')||'';
+  const r = await (await fetch('storage_list?prefix='+
+    encodeURIComponent(prefix))).json();
+  const el = document.getElementById('storefiles');
+  if(r.error){el.textContent = r.error; return;}
+  el.innerHTML =
+    '<p><a href="storage_zip?prefix='+encodeURIComponent(prefix)+
+    '">Download '+prefix+'.zip</a></p>' +
+    (r.folders||[]).map(f=>'<b>'+f+'/</b>').join('<br>') + '<br>' +
+    (r.files||[]).map(f=>f).join('<br>');
+};
 </script></body></html>
 """
 
@@ -227,6 +261,21 @@ class Handler(BaseHTTPRequestHandler):
     def _output_dir(self) -> Path:
         cfg = get_config()
         return Path(os.path.expanduser(cfg["paths"]["output_dir"]))
+
+    def _storage(self):
+        from deepemia_tpu.utils.storage import storage_from_config
+
+        return storage_from_config(get_config())
+
+    def _send_zip(self, body: bytes, filename: str):
+        self.send_response(200)
+        self.send_header("Content-Type", "application/zip")
+        self.send_header(
+            "Content-Disposition", f"attachment; filename={filename}"
+        )
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802 (stdlib API)
         url = urllib.parse.urlparse(self.path)
@@ -257,15 +306,60 @@ class Handler(BaseHTTPRequestHandler):
                     for p in sorted(out.rglob("*")):
                         if p.is_file() and p.stat().st_size < 64 * 1024 * 1024:
                             z.write(p, p.relative_to(out))
-            body = buf.getvalue()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/zip")
-            self.send_header(
-                "Content-Disposition", "attachment; filename=results.zip"
+            self._send_zip(buf.getvalue(), "results.zip")
+        elif url.path == "/storage_list":
+            # bucket/store folder browsing (reference list_gcs_directories,
+            # streamlit_functions.py:151-180)
+            q = urllib.parse.parse_qs(url.query)
+            prefix = q.get("prefix", [""])[0].strip("/")
+            if ".." in prefix:
+                self._json({"error": "invalid prefix"}, 400)
+                return
+            try:
+                files = self._storage().list_prefix(prefix)[:500]
+            except Exception as e:  # noqa: BLE001 - surface as JSON error
+                self._json({"error": str(e)}, 500)
+                return
+            # top-level folder names first, then the files themselves —
+            # the reference lists directories; files are what zip/download
+            # act on
+            folders = sorted(
+                {
+                    f[len(prefix) :].lstrip("/").split("/")[0]
+                    for f in files
+                    if "/" in f[len(prefix) :].lstrip("/")
+                }
             )
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._json({"prefix": prefix, "folders": folders, "files": files})
+        elif url.path == "/storage_zip":
+            # zip an archive folder straight from the storage backend
+            # (reference create_zip_from_gcs, streamlit_functions.py:77-107)
+            import io
+            import tempfile
+            import zipfile
+
+            q = urllib.parse.parse_qs(url.query)
+            prefix = q.get("prefix", [""])[0].strip("/")
+            if not prefix or ".." in prefix:
+                self._json({"error": "invalid prefix"}, 400)
+                return
+            try:
+                store = self._storage()
+                files = store.list_prefix(prefix)[:500]
+                buf = io.BytesIO()
+                with tempfile.TemporaryDirectory() as td, zipfile.ZipFile(
+                    buf, "w", zipfile.ZIP_DEFLATED
+                ) as z:
+                    for i, rel in enumerate(files):
+                        local = Path(td) / str(i)
+                        store.download_file(rel, local)
+                        arc = rel[len(prefix) :].lstrip("/") or Path(rel).name
+                        z.write(local, arc)
+            except Exception as e:  # noqa: BLE001
+                self._json({"error": str(e)}, 500)
+                return
+            name = prefix.rstrip("/").rsplit("/", 1)[-1] or "archive"
+            self._send_zip(buf.getvalue(), f"{name}.zip")
         elif url.path == "/download":
             q = urllib.parse.parse_qs(url.query)
             rel = q.get("p", [""])[0]
@@ -291,6 +385,9 @@ class Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         url = urllib.parse.urlparse(self.path)
         length = int(self.headers.get("Content-Length", "0"))
+        if url.path == "/upload_dataset":
+            self._upload_dataset(length)
+            return
         form = urllib.parse.parse_qs(self.rfile.read(length).decode())
         if url.path != "/run":
             self._json({"error": "not found"}, 404)
@@ -304,6 +401,65 @@ class Handler(BaseHTTPRequestHandler):
             form.get("flags", [""])[0].split(),
         )
         self._json({"error": err} if err else {"ok": True})
+
+    def _upload_dataset(self, length: int):
+        """Multipart dataset upload into ``DATASET/<name>/`` on the storage
+        backend, with optional wipe of the existing folder (reference
+        upload_files_to_gcs, streamlit_functions.py:315-340)."""
+        import email
+        import email.policy
+        import tempfile
+
+        if length > 512 * 1024 * 1024:
+            self._json({"error": "upload too large"}, 413)
+            return
+        ctype = self.headers.get("Content-Type", "")
+        if "multipart/form-data" not in ctype:
+            self._json({"error": "multipart/form-data required"}, 400)
+            return
+        raw = self.rfile.read(length)
+        msg = email.message_from_bytes(
+            b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + raw,
+            policy=email.policy.default,
+        )
+        fields: Dict[str, str] = {}
+        uploads: List = []  # (filename, bytes)
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            filename = part.get_filename()
+            payload = part.get_payload(decode=True) or b""
+            if filename:
+                uploads.append((Path(filename).name, payload))
+            elif name:
+                fields[name] = payload.decode(errors="replace").strip()
+        if not verify_admin_password(fields.get("password", "")):
+            self._json({"error": "invalid password"}, 403)
+            return
+        dataset = fields.get("dataset", "")
+        if not dataset or not dataset.replace("_", "").replace("-", "").isalnum():
+            self._json({"error": "invalid dataset name"}, 400)
+            return
+        if not uploads:
+            self._json({"error": "no files"}, 400)
+            return
+        wipe = fields.get("wipe", "") in ("1", "true", "on", "yes")
+        try:
+            store = self._storage()
+            with tempfile.TemporaryDirectory() as td:
+                for fname, payload in uploads:
+                    (Path(td) / fname).write_bytes(payload)
+                dest = f"DATASET/{dataset}"
+                if wipe:
+                    store.upload_tree_wipe(Path(td), dest)
+                else:
+                    # merge into the existing folder: per-file upload keeps
+                    # files that are not being replaced
+                    for fname, _ in uploads:
+                        store.upload_file(Path(td) / fname, f"{dest}/{fname}")
+        except Exception as e:  # noqa: BLE001
+            self._json({"error": str(e)}, 500)
+            return
+        self._json({"ok": True, "uploaded": len(uploads), "wiped": wipe})
 
     def log_message(self, fmt, *args):  # quieter default
         log.debug("gui: " + fmt, *args)

@@ -178,6 +178,7 @@ def match_detections(
     """Greedy score-ordered matching a<->b; returns match statistics."""
     iou = _iou_matrix(a["boxes"], b["boxes"])
     used = np.zeros(len(b["boxes"]), bool)
+    a_matched = np.zeros(len(a["boxes"]), bool)
     n_match = 0
     mask_ious: List[float] = []
     score_diffs: List[float] = []
@@ -189,6 +190,7 @@ def match_detections(
             continue
         j = cand[np.argmax(iou[i][cand])]
         used[j] = True
+        a_matched[i] = True
         n_match += 1
         score_diffs.append(abs(float(a["scores"][i]) - float(b["scores"][j])))
         ma, mb = a["masks"][i], b["masks"][j]
@@ -198,6 +200,15 @@ def match_detections(
     denom = max(len(a["boxes"]), len(b["boxes"]))
     good_scores = sum(1 for s in score_diffs if s <= score_tol)
     good_masks = sum(1 for m in mask_ious if m >= mask_iou_thr)
+    # confident-band agreement: a raw match_rate over everything above the
+    # 0.05 serving floor mostly measures churn among near-threshold
+    # detections (which barely move AP); the >= 0.5 band is what a user of
+    # the default 0.45/0.5 thresholds actually consumes
+    a_scores = np.asarray(a["scores"], np.float64)
+    b_scores = np.asarray(b["scores"], np.float64)
+    a_conf = a_scores >= 0.5
+    b_conf = b_scores >= 0.5
+    a_unmatched = a_scores[~a_matched]
     return {
         "n_a": len(a["boxes"]),
         "n_b": len(b["boxes"]),
@@ -208,6 +219,15 @@ def match_detections(
         "mask_ok_rate": good_masks / max(n_match, 1),
         "mean_score_diff": float(np.mean(score_diffs)) if score_diffs else 0.0,
         "mean_mask_iou": float(np.mean(mask_ious)) if mask_ious else 1.0,
+        "conf_match_rate_a": (
+            float(a_matched[a_conf].mean()) if a_conf.any() else 1.0
+        ),
+        "conf_match_rate_b": (
+            float(used[b_conf].mean()) if b_conf.any() else 1.0
+        ),
+        "unmatched_a_median_score": (
+            float(np.median(a_unmatched)) if a_unmatched.size else 0.0
+        ),
     }
 
 

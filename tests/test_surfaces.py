@@ -149,3 +149,119 @@ def test_gui_template_ids_match_script(tmp_home):
         assert f"'/{ep}'" in src or f'"/{ep}"' in src or ep in src, (
             f"JS fetches unserved endpoint: {ep}"
         )
+
+
+def test_gui_storage_endpoints(tmp_home):
+    """Storage-backed GUI parity (reference streamlit_functions.py:315-340
+    upload-with-wipe, :151-180 folder listing, :77-107 zip-from-storage):
+    drives the real endpoints against the LocalStorage backend that
+    storage_from_config falls back to under a bucket-less tmp home."""
+    import io
+    import urllib.error
+    import zipfile
+
+    from deepemia_tpu.gui import server as gui
+
+    httpd = gui.serve("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def multipart(fields, files):
+        bound = "XtestboundaryX"
+        out = []
+        for k, v in fields.items():
+            out += [
+                f"--{bound}\r\nContent-Disposition: form-data; "
+                f'name="{k}"\r\n\r\n{v}\r\n'.encode()
+            ]
+        for fname, payload in files:
+            out += [
+                f"--{bound}\r\nContent-Disposition: form-data; "
+                f'name="files"; filename="{fname}"\r\n'
+                "Content-Type: application/octet-stream\r\n\r\n".encode(),
+                payload,
+                b"\r\n",
+            ]
+        out.append(f"--{bound}--\r\n".encode())
+        body = b"".join(out)
+        return body, f"multipart/form-data; boundary={bound}"
+
+    def post(path, body, ctype):
+        req = urllib.request.Request(
+            f"{base}{path}", data=body, method="POST",
+            headers={"Content-Type": ctype},
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    try:
+        # upload two files into DATASET/gds
+        body, ctype = multipart(
+            {"dataset": "gds", "password": ""},
+            [("a.png", b"PNGDATA"), ("info.json", b"{}")],
+        )
+        r = post("/upload_dataset", body, ctype)
+        assert r == {"ok": True, "uploaded": 2, "wiped": False}
+        store_root = Path(tmp_home) / "bucket" / "DATASET" / "gds"
+        assert (store_root / "a.png").read_bytes() == b"PNGDATA"
+
+        # non-wipe upload merges (a.png survives a b.png-only upload)
+        body, ctype = multipart(
+            {"dataset": "gds", "password": ""}, [("b.png", b"B")]
+        )
+        assert post("/upload_dataset", body, ctype)["uploaded"] == 1
+        assert (store_root / "a.png").exists()
+
+        # wipe upload replaces the folder contents
+        body, ctype = multipart(
+            {"dataset": "gds", "password": "", "wipe": "1"},
+            [("c.png", b"C")],
+        )
+        r = post("/upload_dataset", body, ctype)
+        assert r["wiped"] is True
+        assert not (store_root / "a.png").exists()
+        assert (store_root / "c.png").read_bytes() == b"C"
+
+        # listing: folders + files under a prefix
+        ls = json.loads(
+            urllib.request.urlopen(
+                f"{base}/storage_list?prefix=DATASET", timeout=10
+            ).read()
+        )
+        assert "gds" in ls["folders"]
+        assert any(f.endswith("c.png") for f in ls["files"])
+
+        # zip-from-storage round trip
+        zbytes = urllib.request.urlopen(
+            f"{base}/storage_zip?prefix=DATASET/gds", timeout=10
+        ).read()
+        with zipfile.ZipFile(io.BytesIO(zbytes)) as z:
+            assert z.namelist() == ["c.png"]
+            assert z.read("c.png") == b"C"
+
+        # password rejected when configured
+        os.environ[gui.PASSWORD_ENV] = (
+            __import__("hashlib").sha256(b"secret").hexdigest()
+        )
+        try:
+            body, ctype = multipart(
+                {"dataset": "gds", "password": "wrong"}, [("d.png", b"D")]
+            )
+            req = urllib.request.Request(
+                f"{base}/upload_dataset", data=body, method="POST",
+                headers={"Content-Type": ctype},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 403
+        finally:
+            del os.environ[gui.PASSWORD_ENV]
+
+        # traversal prefixes rejected
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"{base}/storage_zip?prefix=..%2Fsecrets", timeout=10
+            )
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()

@@ -122,6 +122,8 @@ def main():
     lines += ["", "| agreement vs float | trunk | full |", "|---|---|---|"]
     for name, field in (
         ("detections matched (IoU>0.85, same class)", "match_rate"),
+        ("matched among float score≥0.5", "conf_match_rate_a"),
+        ("matched among int8 score≥0.5", "conf_match_rate_b"),
         ("matched score |Δ|≤0.05", "score_ok_rate"),
         ("matched pasted-mask IoU≥0.8", "mask_ok_rate"),
     ):
@@ -131,14 +133,32 @@ def main():
         ]
         lines.append(f"| {name} | {vals[0]:.1%} | {vals[1]:.1%} |")
         report[field] = {"trunk": vals[0], "full": vals[1]}
-    lines.append("")
+    med = [
+        float(np.mean([x["unmatched_a_median_score"] for x in agree[m]]))
+        for m in ("trunk", "full")
+    ]
+    lines.append(
+        f"| median score of unmatched float dets | {med[0]:.3f} |"
+        f" {med[1]:.3f} |"
+    )
+    report["unmatched_a_median_score"] = {"trunk": med[0], "full": med[1]}
+    lines += [
+        "",
+        "The all-detections match rate counts everything above the 0.05",
+        "serving floor, so it is dominated by churn among near-threshold",
+        "detections (see the unmatched-median row) that contribute almost",
+        "nothing to AP; the score≥0.5 band is what the default 0.45/0.5",
+        "thresholds actually consume.",
+        "",
+    ]
     for m in ("trunk", "full"):
         d_b = abs(report["bbox/AP"][m] - report["bbox/AP"]["none"])
         d_s = abs(report["segm/AP"][m] - report["segm/AP"]["none"])
         report[f"delta_ap_{m}"] = {"bbox": d_b, "segm": d_s}
+        met = d_b < 1.0 and d_s < 1.0
         lines.append(
-            f"`{m}`: |Δ bbox AP| = {d_b:.2f}, |Δ segm AP| = {d_s:.2f} "
-            f"(BASELINE.md budget: < 1.0)."
+            f"`{m}`: |Δ bbox AP| = {d_b:.2f}, |Δ segm AP| = {d_s:.2f} — "
+            f"budget < 1.0 {'met' if met else 'NOT met'}."
         )
     lines.append("")
     with open(args.out, "w") as f:
