@@ -55,16 +55,82 @@ def _chip_peak_tflops(jax) -> float:
     return 0.0
 
 
-def _program_flops(lowerable, *args) -> float:
-    """FLOPs of one call of a jitted function via XLA cost analysis
-    (0.0 when the backend does not report them)."""
+def _mxu_flops(fn, *args) -> float:
+    """Analytic MXU FLOPs (dot_general + conv only) of one ``fn(*args)``
+    call, counted by walking the jaxpr.
+
+    XLA's ``cost_analysis()['flops']`` is unusable as an MFU numerator
+    here, measured two ways: it counts a ``lax.scan`` body ONCE regardless
+    of trip count (an 8-step training chunk reports the same flops as a
+    single step — 8x under), and it inflates non-matmul ops far above the
+    analytic conv count elsewhere. This walk multiplies scan bodies by
+    their length and counts exactly the 2*M*N*K matmul work the MXU peak
+    is specified in — the standard MFU denominator convention.
+    """
+    import jax
+
     try:
-        ca = lowerable.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        closed = jax.make_jaxpr(fn)(*args)
+    except Exception:  # noqa: BLE001 - flops are best-effort
         return 0.0
+    from math import prod
+
+    total = 0.0
+
+    def visit(jaxpr, mult):
+        nonlocal total
+        for eqn in jaxpr.eqns:
+            p = eqn.primitive.name
+            if p == "dot_general":
+                (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+                lhs = eqn.invars[0].aval.shape
+                rhs = eqn.invars[1].aval.shape
+                k = prod((lhs[i] for i in lc), start=1)
+                b = prod((lhs[i] for i in lb), start=1)
+                excl_l = set(lc) | set(lb)
+                excl_r = set(rc) | set(rb)
+                m = prod(
+                    (d for i, d in enumerate(lhs) if i not in excl_l), start=1
+                )
+                n = prod(
+                    (d for i, d in enumerate(rhs) if i not in excl_r), start=1
+                )
+                total += mult * 2.0 * b * m * n * k
+            elif p == "conv_general_dilated":
+                out = eqn.outvars[0].aval.shape
+                rhs = eqn.invars[1].aval.shape
+                dn = eqn.params["dimension_numbers"]
+                rs = dn.rhs_spec  # (out_ch, in_ch/groups, *spatial)
+                k_in = rhs[rs[1]]
+                k_sp = prod((rhs[i] for i in rs[2:]), start=1)
+                total += mult * 2.0 * prod(out, start=1) * k_in * k_sp
+            inner_mult = mult
+            if p == "scan":
+                inner_mult = mult * eqn.params.get("length", 1)
+            if p == "cond":
+                # one branch executes; count the most expensive one
+                best = 0.0
+                saved = total
+                for cj in _closed_jaxprs(eqn.params.get("branches", ())):
+                    total = 0.0
+                    visit(cj.jaxpr, inner_mult)
+                    best = max(best, total)
+                total = saved + best
+                continue
+            for v in eqn.params.values():
+                for cj in _closed_jaxprs(v):
+                    visit(cj.jaxpr, inner_mult)
+
+    def _closed_jaxprs(v):
+        # duck-typed ClosedJaxpr (class location moves across jax versions)
+        if hasattr(v, "jaxpr") and hasattr(getattr(v, "jaxpr"), "eqns"):
+            return [v]
+        if isinstance(v, (list, tuple)):
+            return [x for item in v for x in _closed_jaxprs(item)]
+        return []
+
+    visit(closed.jaxpr, 1.0)
+    return total
 
 
 def _mfu_fields(jax, flops_per_unit: float, units_per_sec: float) -> dict:
@@ -110,11 +176,11 @@ def bench_tile_throughput(jax, jnp, quant: str = "none"):
     tiles = jnp.asarray((rng.random((BATCH, TILE, TILE, 3)) * 255).astype(np.float32))
     if engine._resolve_serving() == "split":
         stage1 = feats_j(params, tiles)
-        flops_per_batch = _program_flops(
+        flops_per_batch = _mxu_flops(
             feats_j, params, tiles
-        ) + _program_flops(heads_j, params, *stage1)
+        ) + _mxu_flops(heads_j, params, *stage1)
     else:
-        flops_per_batch = _program_flops(fn, params, tiles)
+        flops_per_batch = _mxu_flops(fn, params, tiles)
     for _ in range(WARMUP):
         _sync(fn(params, tiles).scores)
     # steady-state serving pattern: keep two batches in flight so the
@@ -316,9 +382,15 @@ def bench_multiscale_iterative(jax, jnp):
     }
 
 
-def bench_train_step(jax, jnp):
-    """Training throughput: full Mask R-CNN train step, B=2 @ 512^2
-    (reference schedule: ims_per_batch 2; L4 baseline ~30 min/epoch)."""
+def bench_train_step(jax, jnp, batch: int = 2, size: int = 512):
+    """Training throughput: full Mask R-CNN train step.
+
+    Default B=2 @ 512^2 matches the reference schedule (ims_per_batch 2;
+    L4 baseline ~30 min/epoch) for round-over-round continuity; the
+    default bench ALSO runs B=8 @ 1024^2 — the realistic large-batch
+    geometry where the step is MXU-bound rather than latency-bound
+    (VERDICT r4 next #2: the toy shape's 1-2% MFU says nothing about the
+    achievable training rate)."""
     from deepemia_tpu.models.mask_rcnn import build_model, init_params
     from deepemia_tpu.train.trainer import (
         TrainState,
@@ -339,23 +411,27 @@ def bench_train_step(jax, jnp):
             "pallas_fast_grad" if platform == "tpu" else "xla_fast_grad"
         ),
     )
-    params = init_params(model, (512, 512), seed=0)
+    params = init_params(model, (size, size), seed=0)
     tx = make_optimizer(2.5e-4, 1000, 100, params=params)
     state = TrainState.create(params, tx)
-    mesh = make_mesh(1)
+    mesh = make_mesh(1, max_data=batch)
     _, _, packed_fn, packed_sh, chunk_fn, chunk_sh = build_train_step(
-        model, mesh, tx, state_template=state, packed_shape=(512, 16),
+        model, mesh, tx, state_template=state, packed_shape=(size, 16),
         with_chunks=True,
     )
     state = jax.device_put(state, state_shardings(state, mesh))
 
-    b, s, g = 2, 512, 16
+    b, s, g = batch, size, 16
     rng = np.random.default_rng(0)
     masks = np.zeros((b, g, s, s), bool)
     boxes = np.zeros((b, g, 4), np.float32)
+    lo, hi = int(s * 0.08), int(s * 0.78)
     for i in range(b):
         for j in range(6):
-            y, x, r = rng.integers(40, 400), rng.integers(40, 400), rng.integers(16, 48)
+            y, x, r = (
+                rng.integers(lo, hi), rng.integers(lo, hi),
+                rng.integers(s // 32, s // 11),
+            )
             masks[i, j, y : y + r, x : x + r] = True
             boxes[i, j] = [x, y, x + r, y + r]
     host_batch = {
@@ -386,7 +462,7 @@ def bench_train_step(jax, jnp):
         return jax.device_put(np.stack(rows), chunk_sh)
 
     pending = put_chunk(0)
-    flops_per_step = _program_flops(chunk_fn, state, pending) / K
+    flops_per_step = _mxu_flops(chunk_fn, state, pending) / K
     for i in range(2):  # compile + warm
         state, m = chunk_fn(state, pending)
         pending = put_chunk((i + 1) * K)
@@ -399,15 +475,37 @@ def bench_train_step(jax, jnp):
             pending = put_chunk((i + 3) * K)
     _sync(m["total"][-1])
     per = (time.perf_counter() - t0) / (n_chunks * K)
+    # device-resident rate: same program re-dispatched on the staged chunk
+    # (the buffer is not donated). Splits compute-bound from wire-bound:
+    # over the bench harness's tunneled chip the host->device link runs at
+    # ~46 MB/s and the sustained rate above is transfer-bound at large
+    # geometries; a real TPU-VM host feeds over PCIe DMA where the two
+    # rates converge.
+    t0 = time.perf_counter()
+    n_dev = 3
+    for _ in range(n_dev):
+        state, m = chunk_fn(state, pending)
+    _sync(m["total"][-1])
+    per_dev = (time.perf_counter() - t0) / (n_dev * K)
     # reference: ~30 min/epoch on L4. With the auto schedule (100-200
     # iters/image) an epoch-equivalent is ~1 iter/image; use the ETA
     # telemetry figure 1800 s/train ~= 10k iters -> 0.18 s/iter baseline.
     return {
-        "metric": f"train_step_b2_512_{platform}",
+        "metric": f"train_step_b{batch}_{size}_{platform}",
         "value": round(1.0 / per, 3),
         "unit": "steps_per_sec",
-        "vs_baseline": round((1.0 / per) / (1.0 / 0.18), 3),
+        # the 0.18 s/iter ETA-telemetry baseline is per-BATCH at the
+        # reference's ims_per_batch=2; scale to images/s for other batches
+        "vs_baseline": round((batch / per) / (2.0 / 0.18), 3),
+        "images_per_sec": round(batch / per, 2),
         **_mfu_fields(jax, flops_per_step, 1.0 / per),
+        "device_resident_steps_per_sec": round(1.0 / per_dev, 3),
+        **{
+            f"{k}_device_resident": v
+            for k, v in _mfu_fields(
+                jax, flops_per_step, 1.0 / per_dev
+            ).items()
+        },
     }
 
 
@@ -705,6 +803,11 @@ def main() -> None:
 
     if args.only == "train":
         print(json.dumps(bench_train_step(jax, jnp)), flush=True)
+        # the realistic large-batch geometry (MXU-bound, the MFU story)
+        print(
+            json.dumps(bench_train_step(jax, jnp, batch=8, size=1024)),
+            flush=True,
+        )
         return
     if args.only == "int8":
         _wait_for_backend(budget_s=900.0)

@@ -240,3 +240,64 @@ def test_member_parallel_ensemble_matches_shared_mesh(tiny_r50):
         np.sort(np.asarray(inst_s.boxes)[vs], axis=0),
         atol=0.5,
     )
+
+
+def test_split_serving_cross_process_paths_single_process(
+    tiny_r50, monkeypatch
+):
+    """Fast-lane coverage of the PROCESS-SPANNING replication branches
+    (VERDICT r4 next #10): the TileEngine takes three extra steps on a
+    multi-host mesh — staging committed params through host memory,
+    converting a committed input array to numpy before the replicating
+    device_put, and emitting replicated outputs. The 2-process test that
+    drives them for real is contention-flaky on a 1-core host and lives in
+    the slow lane (tests/test_distributed.py); here the same code paths
+    execute in-process by patching jax.process_count, and the detection
+    set must match the unsharded engine."""
+    from deepemia_tpu.inference.engine import ClassSettings, TileEngine
+
+    assert len(jax.devices()) >= 2
+    model, params = tiny_r50
+    settings = ClassSettings(
+        confidence=jnp.asarray([0.05, 0.05]),
+        nms_iou=jnp.asarray([0.5, 0.5]),
+        min_size=jnp.zeros((2,)),
+    )
+    rng = np.random.default_rng(4)
+    img_np = (rng.random((200, 300, 3)) * 255).astype(np.float32)
+
+    kw = dict(tile_size=128, overlap_ratio=0.2, upscale_factor=1.0,
+              capacity=64, tile_batch=2)
+    single = TileEngine(model, params, serving="split", **kw)
+    inst_s, q_s = single.infer(img_np, settings)
+
+    # committed single-device inputs, as a checkpoint load would produce
+    params_committed = jax.device_put(params, jax.devices()[0])
+    img_committed = jax.device_put(img_np, jax.devices()[0])
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # full 8-device tile mesh: identical program shapes to
+    # test_split_serving_sharded_matches_single_device, so this test adds
+    # no new compiles to the fast lane
+    sharded = TileEngine(
+        model, params_committed, mesh=tile_mesh(), serving="split", **kw
+    )
+    inst_m, q_m = sharded.infer(img_committed, settings)
+
+    assert float(q_s) == pytest.approx(float(q_m))
+    vs = np.asarray(inst_s.valid)
+    vm = np.asarray(inst_m.valid)
+    assert vs.sum() == vm.sum()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_s.scores)[vs]),
+        np.sort(np.asarray(inst_m.scores)[vm]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(inst_s.boxes)[vs], axis=0),
+        np.sort(np.asarray(inst_m.boxes)[vm], axis=0),
+        atol=0.5,
+    )
+    # the merged outputs must be REPLICATED (host-readable on every
+    # process of a real pod): fully-replicated arrays have one shard per
+    # device covering the whole array
+    assert inst_m.scores.sharding.is_fully_replicated

@@ -39,6 +39,9 @@ def main():
     # summarize the xplane: per-op self time
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     print("xplane:", paths)
+    # the image's protobuf rejects the plugin's generated descriptors
+    # under the C++ backend; pure-python parsing is slow but works
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(
