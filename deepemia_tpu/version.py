@@ -1,6 +1,6 @@
 """Version metadata (parity surface: reference src/__version__.py)."""
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 VERSION_INFO = {
     "version": __version__,
