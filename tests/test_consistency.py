@@ -93,6 +93,7 @@ def test_bf16_vs_f32_detection_consistency(rng):
         )
 
 
+@pytest.mark.compiles
 def test_full_pass_guard(rng):
     """Images over full_pass_max_dim skip the whole-image forward but the
     tile grid still produces detections; small images keep the full pass."""

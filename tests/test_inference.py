@@ -383,6 +383,7 @@ def test_size_heuristic_zero_detections_keeps_upscale(tiny_dataset, monkeypatch)
     assert pipe.upscale_classes == set()
 
 
+@pytest.mark.compiles
 def test_pipeline_end_to_end(tiny_dataset):
     from deepemia_tpu.inference.pipeline import InferencePipeline
 

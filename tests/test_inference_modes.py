@@ -245,6 +245,7 @@ def test_downscaled_full_pass_recovers_objects_larger_than_a_tile(tiny_r50):
     assert best > 0.6, f"large object not recovered (best IoU {best:.2f})"
 
 
+@pytest.mark.compiles
 def test_split_serving_matches_fused(tiny_r50):
     """The multi-program split schedule (conv-pure features program +
     separate heads program) must produce the same instances as the fused
@@ -290,6 +291,7 @@ def test_split_serving_matches_fused(tiny_r50):
     )
 
 
+@pytest.mark.compiles
 def test_heads_vectorize_vmap_matches_map(tiny_r50):
     """heads_vectorize='vmap' (batched per-tile RPN/RoI heads: one FC
     matmul, batched top_k/NMS) must produce the same instances as the

@@ -88,6 +88,7 @@ def test_pallas_fast_grad_backend(pyramid):
         )
 
 
+@pytest.mark.compiles
 def test_pallas_backward_kernel_matches_einsum(pyramid):
     """The EXPERIMENTAL windowed RMW backward kernel
     (roi_align_backward_pallas, backend 'pallas_full_fast_grad') reproduces
@@ -228,6 +229,7 @@ def test_pallas_fast_grad_size_guard():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.compiles
 def test_model_forward_pallas_backend_matches_xla():
     """Full Mask R-CNN forward with roi_backend='pallas' (interpret mode on
     CPU) must reproduce the XLA-gather detections."""

@@ -147,6 +147,7 @@ def test_sharded_train_step_matches_single_device(tiny_r50):
         ), f"{k}: {losses['single'][k]} vs {losses['sharded'][k]}"
 
 
+@pytest.mark.compiles
 def test_split_serving_sharded_matches_single_device(tiny_r50):
     """The SHARDED split schedule (P1/P2 shard_mapped over a ('tile',)
     mesh) must yield the same detection set as the unsharded single-device
@@ -242,6 +243,7 @@ def test_member_parallel_ensemble_matches_shared_mesh(tiny_r50):
     )
 
 
+@pytest.mark.compiles
 def test_split_serving_cross_process_paths_single_process(
     tiny_r50, monkeypatch
 ):

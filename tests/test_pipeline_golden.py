@@ -109,6 +109,7 @@ def zoo_pipeline(tmp_home, tmp_path, tiny_r50):
     }
 
 
+@pytest.mark.compiles
 def test_zoo_pkl_full_pipeline_golden_csv(zoo_pipeline):
     from deepemia_tpu.inference.pipeline import InferencePipeline
 

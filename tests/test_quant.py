@@ -126,6 +126,7 @@ def test_quant_model_detections_agree(tiny_r50):
         assert corr > 0.95, (lv, corr)
 
 
+@pytest.mark.compiles
 def test_quant_split_serving_engine(tiny_r50):
     """The TPU production schedule (split serving: conv-pure P1 + heads P2)
     runs with the int8 backbone: quantized convs live in P1 only, and the

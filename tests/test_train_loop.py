@@ -91,6 +91,7 @@ def test_train_checkpoint_resume(tmp_path):
     assert n > 40e6
 
 
+@pytest.mark.compiles
 def test_packed_mask_transfer_equivalence(tiny_r50):
     """The loader's bit-packed GT-mask transfer format (uint8, W//8) yields
     the same loss as raw bool masks: unpack_mask_bits inverts np.packbits
@@ -151,6 +152,7 @@ def test_packed_mask_transfer_equivalence(tiny_r50):
     assert abs(losses[0] - losses[1]) < 1e-5
 
 
+@pytest.mark.compiles
 def test_packed_wire_step_equivalence(tiny_r50):
     """The single-buffer wire format (pack_batch_bytes -> one device_put ->
     device-side bitcast unpack) yields EXACTLY the dict-path loss: the
@@ -215,6 +217,7 @@ def test_packed_wire_step_equivalence(tiny_r50):
     assert losses[0] == losses[1]
 
 
+@pytest.mark.compiles
 def test_chunked_dispatch_equivalence(tiny_r50):
     """steps_per_dispatch: one lax.scan over K packed batches must produce
     the same training trajectory as K single-step dispatches — same batch
