@@ -151,7 +151,9 @@ CONFIG_SCHEMA: Dict[str, Field] = {
                     # (one FC matmul / batched top_k across tiles)
                     "heads_vectorize": Field(types=str, default="map"),
                     # whole-image pass runs native up to this long side,
-                    # downscaled above it (8k+ micrographs: raise at will)
+                    # downscaled above it (8k+ micrographs: raise at will);
+                    # 0 = tiles-only (skip the whole-image pass — for
+                    # datasets where every object fits inside a tile)
                     "full_pass_max_dim": Field(types=int, default=2048),
                     # rasterized-IoU grid stride for the global dedup NMS
                     "dedup_stride": Field(types=int, default=8),

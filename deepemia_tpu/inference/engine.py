@@ -147,7 +147,11 @@ class TileEngine:
         while objects large enough to exceed a tile are still huge at half
         resolution (an interior object larger than a tile cannot be
         recovered from tiles alone: every partial view touches a tile edge
-        and is edge-filtered)."""
+        and is edge-filtered). ``0`` disables the whole-image pass
+        entirely (tiles-only mode, for datasets where every object fits
+        in a tile — the full pass then only costs conv FLOPs); ignored
+        when ``use_tiling`` is off, where the full pass is the only
+        source of detections."""
         self.model = model
         if mesh is not None:
             # checkpoint-loaded params arrive committed to one device;
@@ -296,8 +300,15 @@ class TileEngine:
         fh = h + (-h) % 64
         fw = w + (-w) % 64
 
-        native_full = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
-        if not native_full:
+        tiling = self.use_tiling and grid.num_tiles > 1
+        # full_pass_max_dim == 0: tiles-only mode — unless tiling is
+        # degenerate (one tile / disabled), where the full pass is the only
+        # detection source and stays on
+        full_pass = self.full_pass_max_dim > 0 or not tiling
+        # without tiling (disabled or single-tile grid) the full pass runs
+        # native whatever the cap: it is the only detection source
+        native_full = max(h, w) <= self.full_pass_max_dim or not tiling
+        if full_pass and not native_full:
             # downscaled full pass: /64-legal geometry at the cap
             ds = self.full_pass_max_dim / max(h, w)
             dh = max(64, int(round(h * ds / 64)) * 64)
@@ -311,7 +322,9 @@ class TileEngine:
                 qscale = adaptive_threshold_scale(quality)
 
             parts = []
-            if native_full:
+            if not full_pass:
+                pass
+            elif native_full:
                 padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
                 parts.append(self._forward(params, padded))
             else:
@@ -323,7 +336,7 @@ class TileEngine:
                     [w / dw, h / dh, w / dw, h / dh], jnp.float32
                 )
                 parts.append(inst._replace(boxes=inst.boxes * back))
-            if self.use_tiling and grid.num_tiles > 1:
+            if tiling:
                 tiles = tile_ops.extract_tiles(image, grid)  # [T,ts,ts,3]
                 scale = ts_up / ts
 
@@ -536,13 +549,15 @@ class TileEngine:
         grid = tile_ops.compute_tile_grid(h, w, ts, self.overlap_ratio)
         fh = h + (-h) % 64
         fw = w + (-w) % 64
-        native_full = max(h, w) <= self.full_pass_max_dim or not self.use_tiling
-        if not native_full:
+        tiling = self.use_tiling and grid.num_tiles > 1
+        # see _build: 0 disables the whole-image pass unless tiling is
+        # degenerate (then it is the only detection source)
+        full_pass = self.full_pass_max_dim > 0 or not tiling
+        native_full = max(h, w) <= self.full_pass_max_dim or not tiling
+        if full_pass and not native_full:
             ds = self.full_pass_max_dim / max(h, w)
             dh = max(64, int(round(h * ds / 64)) * 64)
             dw = max(64, int(round(w * ds / 64)) * 64)
-
-        tiling = self.use_tiling and grid.num_tiles > 1
         scale = ts_up / ts
         n_dev = self.mesh.size if self.mesh is not None else 1
         chunk = min(self.tile_batch, max(-(-grid.num_tiles // n_dev), 1))
@@ -556,7 +571,11 @@ class TileEngine:
                 qscale = jnp.float32(1.0)
             else:
                 qscale = adaptive_threshold_scale(quality)
-            if native_full:
+            if not full_pass:
+                from deepemia_tpu.inference.detections import empty_instances
+
+                full_inst = empty_instances(self.capacity)
+            elif native_full:
                 padded = jnp.pad(image, ((0, fh - h), (0, fw - w), (0, 0)))
                 full_inst = self._forward(params, padded)
             else:

@@ -115,12 +115,22 @@ def test_full_pass_guard(rng):
     normal = TileEngine(
         model, params, tile_size=128, upscale_factor=1.0, capacity=64,
     )
+    tiles_only = TileEngine(
+        model, params, tile_size=128, upscale_factor=1.0, capacity=64,
+        full_pass_max_dim=0,  # tiles-only mode: no whole-image pass at all
+    )
     ig, _ = guarded.infer(img, settings)
     im_, _ = normal.infer(img, settings)
+    it, _ = tiles_only.infer(img, settings)
     # both modes produce a valid padded set; guarded must not crash or
     # return the dummy-empty path since tiling covers the image
-    assert ig.boxes.shape == im_.boxes.shape
+    assert ig.boxes.shape == im_.boxes.shape == it.boxes.shape
     assert int(ig.valid.sum()) >= 0 and int(im_.valid.sum()) >= 0
+    # tiles-only on an image SMALLER than one tile falls back to the
+    # native full pass (the only detection source) instead of going dark
+    small = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    is_, _ = tiles_only.infer(small, settings)
+    assert is_.boxes.shape[0] == 64
 
 
 def test_windowed_host_measurements_match_fullres():
