@@ -181,76 +181,96 @@ def _kernel(
     # vector inputs
     geom_ref,  # [N, 6] f32 (VMEM)
     f0, f1, f2, f3,  # per-level [H, W, C] HBM refs
-    out_ref,  # [1, P, P*C] VMEM block for this RoI
-    # scratch: double-buffered small/medium windows, single large window
-    s_win0, s_win1, m_win0, m_win1, large_win, sem_s, sem_m, sem_l,
-    *, p: int, c: int, out_size: int, s: int, q: int,
+    out_ref,  # [K, P, P*C] VMEM block for this RoI group
+    # scratch: flat per-(slot, lane) small/medium window buffers (3-D VMEM
+    # refs — a single [2, K, ...] buffer sliced per access lowers to
+    # per-access relayout copies in Mosaic), then one large window and the
+    # [2, K] semaphore arrays
+    *scratch,
+    p: int, c: int, out_size: int, s: int, q: int, k: int,
 ):
+    """Grid step i processes RoIs [i*k, (i+1)*k): one grid step per RoI is
+    dominated by fixed per-step cost (scalar reads, branch setup, DMA
+    issue/wait latency — measured ~3.3 us/RoI at the 1000x7 box stage while
+    the window DMA+matmuls are sub-microsecond), so k RoIs share a step and
+    the whole NEXT group's windows prefetch while this group computes."""
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
     levels = (f0, f1, f2, f3)
+    # scratch layout: 2*k small, 2*k medium (slot-major), large, sems
+    s_bufs = [scratch[sl * k + j] for sl in range(2) for j in range(k)]
+    m_bufs = [scratch[2 * k + sl * k + j] for sl in range(2) for j in range(k)]
+    large_win = scratch[4 * k]
+    sem_s, sem_m, sem_l = scratch[4 * k + 1 :]
 
-    def make_copy(ref, j, dst, sem, wy_cells, wx_cells):
+    def s_win(sl, j):
+        return s_bufs[sl * k + j]
+
+    def m_win(sl, j):
+        return m_bufs[sl * k + j]
+
+    def make_copy(ref, r, dst, sem, wy_cells, wx_cells):
         return pltpu.make_async_copy(
             ref.at[
-                pl.ds(wy_ref[j], wy_cells),
-                pl.ds(pl.multiple_of(wx_ref[j], q), wx_cells),
+                pl.ds(wy_ref[r], wy_cells),
+                pl.ds(pl.multiple_of(wx_ref[r], q), wx_cells),
                 slice(None),
             ],
             dst,
             sem,
         )
 
-    def start(j, dst, sem, wy_cells, wx_cells):
+    def start(r, dst, sem, wy_cells, wx_cells):
         for li, ref in enumerate(levels):
-            @pl.when(lvl_ref[j] == li)
+            @pl.when(lvl_ref[r] == li)
             def _(ref=ref):
-                make_copy(ref, j, dst, sem, wy_cells, wx_cells).start()
+                make_copy(ref, r, dst, sem, wy_cells, wx_cells).start()
 
-    def issue(j, slot):
-        """Issue RoI j's window DMA into its class buffer (small/medium are
-        slotted; large has one buffer)."""
-        @pl.when(cls_ref[j] == 0)
+    def issue(r, slot, j):
+        """Issue RoI r's window DMA into lane j of its class buffer group
+        (small/medium are slotted; large has one buffer)."""
+        @pl.when(cls_ref[r] == 0)
         def _():
             @pl.when(slot == 0)
             def _():
-                start(j, s_win0, sem_s.at[0], SMALL_W, SMALL_W + q)
+                start(r, s_win(0, j), sem_s.at[0, j], SMALL_W, SMALL_W + q)
 
             @pl.when(slot == 1)
             def _():
-                start(j, s_win1, sem_s.at[1], SMALL_W, SMALL_W + q)
+                start(r, s_win(1, j), sem_s.at[1, j], SMALL_W, SMALL_W + q)
 
-        @pl.when(cls_ref[j] == 1)
+        @pl.when(cls_ref[r] == 1)
         def _():
             @pl.when(slot == 0)
             def _():
-                start(j, m_win0, sem_m.at[0], MED_W, MED_W + q)
+                start(r, m_win(0, j), sem_m.at[0, j], MED_W, MED_W + q)
 
             @pl.when(slot == 1)
             def _():
-                start(j, m_win1, sem_m.at[1], MED_W, MED_W + q)
+                start(r, m_win(1, j), sem_m.at[1, j], MED_W, MED_W + q)
 
-    # prologue: issue RoI 0's window (any class)
+    # prologue: issue group 0's small/medium windows into slot 0
     @pl.when(i == 0)
     def _():
-        issue(0, jnp.int32(0))
+        for j in range(k):
+            issue(jnp.int32(j), jnp.int32(0), j)
 
-        @pl.when(cls_ref[0] == 2)
-        def _():
-            start(0, large_win, sem_l, LARGE_W, LARGE_W + q)
-
-    # prefetch the NEXT RoI's small/medium window before this RoI's compute
-    # (index clamped: the guard keeps the branch dead at the last step, but
-    # the scalar read itself must stay in bounds)
-    nxt = jnp.minimum(i + 1, nprog - 1)
-    @pl.when((i + 1 < nprog) & (cls_ref[nxt] != 2))
+    # prefetch the NEXT group's small/medium windows before this group's
+    # compute (indices clamped: the guard keeps the branch dead at the last
+    # step, but the scalar reads themselves must stay in bounds)
+    @pl.when(i + 1 < nprog)
     def _():
-        issue(nxt, nxt % 2)
+        for j in range(k):
+            nxt = jnp.minimum((i + 1) * k + j, nprog * k - 1)
 
-    def compute(win_ref, wy_cells, wx_cells):
-        """Bilinear sampling of this RoI from its VMEM window."""
+            @pl.when(cls_ref[nxt] != 2)
+            def _(nxt=nxt):
+                issue(nxt, (i + 1) % 2, j)
+
+    def compute(r, j, win_ref, wy_cells, wx_cells):
+        """Bilinear sampling of RoI r from its VMEM window into lane j."""
         wy_mat, wx_mat = _weight_matrices(
-            wy_ref[i], wx_ref[i], h_ref[i], w_ref[i], geom_ref, i,
+            wy_ref[r], wx_ref[r], h_ref[r], w_ref[r], geom_ref, r,
             p, s, wy_cells, wx_cells,
         )
         wy_mat = wy_mat.astype(win_ref.dtype)
@@ -271,42 +291,61 @@ def _kernel(
         )  # [P_x, P_y, C]
         samples = jnp.transpose(samples, (1, 0, 2))  # [P_y, P_x, C]
         pooled = samples.reshape(out_size, s, out_size, s, c).mean(axis=(1, 3))
-        out_ref[...] = pooled.reshape(1, out_size, out_size * c).astype(
+        out_ref[j] = pooled.reshape(out_size, out_size * c).astype(
             out_ref.dtype
         )
 
-    @pl.when(cls_ref[i] == 0)
-    def _():
-        @pl.when(i % 2 == 0)
-        def _():
-            make_copy(f0, i, s_win0, sem_s.at[0], SMALL_W, SMALL_W + q).wait()
-            compute(s_win0, SMALL_W, SMALL_W + q)
+    for j in range(k):
+        r = i * k + j
 
-        @pl.when(i % 2 == 1)
-        def _():
-            make_copy(f0, i, s_win1, sem_s.at[1], SMALL_W, SMALL_W + q).wait()
-            compute(s_win1, SMALL_W, SMALL_W + q)
+        @pl.when(cls_ref[r] == 0)
+        def _(r=r, j=j):
+            @pl.when(i % 2 == 0)
+            def _():
+                make_copy(
+                    f0, r, s_win(0, j), sem_s.at[0, j], SMALL_W, SMALL_W + q
+                ).wait()
+                compute(r, j, s_win(0, j), SMALL_W, SMALL_W + q)
 
-    @pl.when(cls_ref[i] == 1)
-    def _():
-        @pl.when(i % 2 == 0)
-        def _():
-            make_copy(f0, i, m_win0, sem_m.at[0], MED_W, MED_W + q).wait()
-            compute(m_win0, MED_W, MED_W + q)
+            @pl.when(i % 2 == 1)
+            def _():
+                make_copy(
+                    f0, r, s_win(1, j), sem_s.at[1, j], SMALL_W, SMALL_W + q
+                ).wait()
+                compute(r, j, s_win(1, j), SMALL_W, SMALL_W + q)
 
-        @pl.when(i % 2 == 1)
-        def _():
-            make_copy(f0, i, m_win1, sem_m.at[1], MED_W, MED_W + q).wait()
-            compute(m_win1, MED_W, MED_W + q)
+        @pl.when(cls_ref[r] == 1)
+        def _(r=r, j=j):
+            @pl.when(i % 2 == 0)
+            def _():
+                make_copy(
+                    f0, r, m_win(0, j), sem_m.at[0, j], MED_W, MED_W + q
+                ).wait()
+                compute(r, j, m_win(0, j), MED_W, MED_W + q)
 
-    @pl.when(cls_ref[i] == 2)
-    def _():
-        @pl.when(i > 0)  # RoI 0's copy was issued in the prologue
-        def _():
-            start(i, large_win, sem_l, LARGE_W, LARGE_W + q)
+            @pl.when(i % 2 == 1)
+            def _():
+                make_copy(
+                    f0, r, m_win(1, j), sem_m.at[1, j], MED_W, MED_W + q
+                ).wait()
+                compute(r, j, m_win(1, j), MED_W, MED_W + q)
 
-        make_copy(f0, i, large_win, sem_l, LARGE_W, LARGE_W + q).wait()
-        compute(large_win, LARGE_W, LARGE_W + q)
+        @pl.when(cls_ref[r] == 2)
+        def _(r=r, j=j):
+            # large windows are rare (level-5/elongated): serial single
+            # buffer, issued inline
+            start(r, large_win, sem_l, LARGE_W, LARGE_W + q)
+            make_copy(f0, r, large_win, sem_l, LARGE_W, LARGE_W + q).wait()
+            compute(r, j, large_win, LARGE_W, LARGE_W + q)
+
+        @pl.when(cls_ref[r] == 3)
+        def _(j=j):
+            # skip class: invalid/padding RoI — no DMA, no matmuls. The
+            # production proposal set is half padding rows (post-NMS top-K
+            # at a fixed 1000), so this halves the kernel's HBM traffic.
+            out_ref[j] = jnp.zeros(
+                (out_size, out_size * c), out_ref.dtype
+            )
 
 
 def roi_align_pallas(
@@ -317,10 +356,25 @@ def roi_align_pallas(
     levels: Sequence[str] = ("p2", "p3", "p4", "p5"),
     adaptive_ratio: bool = False,
     interpret: bool = False,
+    rois_per_step: int = 0,
+    valid=None,
 ) -> jnp.ndarray:
     """Drop-in multilevel RoIAlign via the Pallas kernel.
 
     features {level: [H,W,C]}, boxes [N,4] -> [N,out,out,C] float32.
+
+    ``valid``: optional [N] bool — rows marked False skip the window DMA
+    and compute entirely and output zeros. Callers that mask invalid rows
+    downstream (the RoI heads gate on proposal/detection validity) get the
+    bandwidth back: the kernel is HBM-bound on its window copies and the
+    production proposal set is half padding rows.
+
+    ``rois_per_step``: RoIs per Mosaic grid step (0 = auto = 1). Grouping
+    K windows per step was measured SLOWER on v5e (2.4 -> 10.0 ms at the
+    1000x7 box stage with a realistic window mix): the kernel is
+    DMA-bandwidth-bound, not per-step-overhead-bound, and larger in-flight
+    window groups just add VMEM pressure. The knob stays for experiments
+    (tools/bench_roi.py --roi-k).
     """
     n = boxes.shape[0]
     c = features[levels[0]].shape[-1]
@@ -346,12 +400,27 @@ def roi_align_pallas(
     }
     dtype = features[levels[0]].dtype
     q = _align_quantum(dtype)
+    k = max(1, min(rois_per_step or 1, n))
     level_shapes = [features[nm].shape[:2] for nm in levels]
     strides = [STRIDES[nm] for nm in levels]
     cls, lvl, wy, wx, heights, widths, geom = _prepare_rois(
         boxes, level_shapes, strides, output_size, sampling_ratio,
         adaptive_ratio, q,
     )
+    if valid is not None:
+        cls = jnp.where(jnp.asarray(valid, bool), cls, 3)
+    # pad the RoI axis to a group multiple (pad RoIs are skip-class:
+    # no DMA/compute, output rows sliced off)
+    n_pad = -(-n // k) * k
+    if n_pad != n:
+        ext = n_pad - n
+        cls = jnp.pad(cls, (0, ext), constant_values=3)
+        lvl = jnp.pad(lvl, (0, ext))
+        wy = jnp.pad(wy, (0, ext))
+        wx = jnp.pad(wx, (0, ext))
+        heights = jnp.pad(heights, (0, ext), constant_values=SMALL_W)
+        widths = jnp.pad(widths, (0, ext), constant_values=SMALL_W + q)
+        geom = jnp.pad(geom, ((0, ext), (0, 0)))
 
     # pad small levels so any clamped window slice stays in bounds (only
     # p4/p5-sized maps are touched; p2/p3 pass through with their native
@@ -368,7 +437,7 @@ def roi_align_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(n,),
+        grid=(n_pad // k,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom
             pl.BlockSpec(memory_space=pl.ANY),  # f0 (HBM)
@@ -377,35 +446,35 @@ def roi_align_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, output_size, output_size * c),
+            (k, output_size, output_size * c),
             lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((SMALL_W, SMALL_W + q, c), dtype),
-            pltpu.VMEM((SMALL_W, SMALL_W + q, c), dtype),
-            pltpu.VMEM((MED_W, MED_W + q, c), dtype),
-            pltpu.VMEM((MED_W, MED_W + q, c), dtype),
-            pltpu.VMEM((LARGE_W, LARGE_W + q, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((SMALL_W, SMALL_W + q, c), dtype)] * (2 * k)
+            + [pltpu.VMEM((MED_W, MED_W + q, c), dtype)] * (2 * k)
+            + [
+                pltpu.VMEM((LARGE_W, LARGE_W + q, c), dtype),
+                pltpu.SemaphoreType.DMA((2, k)),
+                pltpu.SemaphoreType.DMA((2, k)),
+                pltpu.SemaphoreType.DMA,
+            ]
+        ),
     )
 
     kernel = functools.partial(
-        _kernel, p=p, c=c, out_size=output_size, s=sampling_ratio, q=q
+        _kernel, p=p, c=c, out_size=output_size, s=sampling_ratio, q=q, k=k
     )
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n, output_size, output_size * c), jnp.float32
+            (n_pad, output_size, output_size * c), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(cls, lvl, wy, wx, heights, widths, geom, *padded)
-    return out.reshape(n, output_size, output_size, c)
+    return out[:n].reshape(n, output_size, output_size, c)
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,7 @@ class ROIHeads(nn.Module):
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
         backend: str | None = None,
+        valid=None,
     ):
         backend = backend or self.train_roi_backend
         pooled = roi_align_dispatch(
@@ -205,6 +206,7 @@ class ROIHeads(nn.Module):
             output_size=7,
             adaptive_ratio=self.adaptive_pooler,
             backend=backend,
+            valid=valid,
         )
         return self.box_predictor(self.box_head(pooled.astype(self.dtype)))
 
@@ -213,6 +215,7 @@ class ROIHeads(nn.Module):
         features: Dict[str, jnp.ndarray],
         boxes: jnp.ndarray,
         backend: str | None = None,
+        valid=None,
     ):
         backend = backend or self.train_roi_backend
         pooled = roi_align_dispatch(
@@ -221,6 +224,7 @@ class ROIHeads(nn.Module):
             output_size=14,
             adaptive_ratio=self.adaptive_pooler,
             backend=backend,
+            valid=valid,
         )
         return self.mask_head(pooled.astype(self.dtype))  # [D,28,28,C]
 
@@ -234,8 +238,11 @@ class ROIHeads(nn.Module):
         nms_threshold: float = 0.5,
         max_detections: int = StaticShapes.MAX_DETECTIONS,
     ) -> Detections:
+        # invalid proposal rows are excluded by fast_rcnn_inference's
+        # validity gate, so the pooler may skip their windows outright
         scores, deltas = self.box_forward(
-            features, proposals, backend=self.roi_backend
+            features, proposals, backend=self.roi_backend,
+            valid=proposal_valid,
         )
         b, s, c, v = fast_rcnn_inference(
             scores,
@@ -248,7 +255,7 @@ class ROIHeads(nn.Module):
             max_detections,
         )
         mask_logits = self.mask_forward(
-            features, b, backend=self.roi_backend
+            features, b, backend=self.roi_backend, valid=v
         )  # [D,28,28,C]
         sel = jax.nn.one_hot(c, self.num_classes, dtype=mask_logits.dtype)
         m = jnp.einsum("dhwc,dc->dhw", mask_logits, sel)

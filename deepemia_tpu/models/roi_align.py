@@ -534,8 +534,15 @@ def roi_align_dispatch(
     sampling_ratio: int = 2,
     adaptive_ratio: bool = False,
     backend: str = "auto",
+    valid=None,
 ) -> jnp.ndarray:
     """Multilevel RoIAlign with backend selection.
+
+    ``valid``: optional [N] bool row mask, honored by the Pallas inference
+    backend only — invalid rows skip their window DMA/compute and output
+    zeros (the RoI heads gate on validity downstream, so only the padded
+    rows' garbage values change). The XLA/gather and training backends
+    ignore it.
 
     ``backend``: 'xla' (pyramid point-gather — differentiable, and the
     default), 'xla_fast_grad' (same forward, scatter-free matmul backward,
@@ -592,6 +599,7 @@ def roi_align_dispatch(
             sampling_ratio=sampling_ratio,
             adaptive_ratio=adaptive_ratio,
             interpret=not on_tpu,
+            valid=valid,
         )
     return multilevel_roi_align(
         features,

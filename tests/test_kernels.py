@@ -35,6 +35,31 @@ def test_pallas_roi_align_matches_xla(pyramid):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_pallas_roi_align_valid_skip(pyramid):
+    """Rows masked invalid skip DMA/compute and output zeros; valid rows
+    are bit-identical to the unmasked call (the production proposal set is
+    half padding rows — the skip halves the kernel's HBM traffic)."""
+    boxes = jnp.asarray(
+        [
+            [40.0, 40.0, 120.0, 100.0],
+            [0.0, 0.0, 0.0, 0.0],  # padding row (degenerate box)
+            [10.0, 10.0, 400.0, 380.0],
+            [0.0, 0.0, 1000.0, 900.0],
+        ],
+        jnp.float32,
+    )
+    valid = jnp.asarray([True, False, True, False])
+    full = roi_align_pallas(pyramid, boxes, output_size=7, interpret=True)
+    got = roi_align_pallas(
+        pyramid, boxes, output_size=7, interpret=True, valid=valid
+    )
+    g = np.asarray(got)
+    np.testing.assert_array_equal(g[1], 0.0)
+    np.testing.assert_array_equal(g[3], 0.0)
+    np.testing.assert_array_equal(g[0], np.asarray(full)[0])
+    np.testing.assert_array_equal(g[2], np.asarray(full)[2])
+
+
 def test_pallas_roi_align_mask_resolution(pyramid):
     boxes = jnp.asarray([[30.0, 30.0, 150.0, 140.0]], jnp.float32)
     ref = multilevel_roi_align(pyramid, boxes, output_size=14)

@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--img", type=int, default=1024)
     ap.add_argument("--boxes", type=int, default=1000)
     ap.add_argument("--accuracy", action="store_true")
+    ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--roi-k", type=int, default=0, help="rois_per_step (0=auto)")
     args = ap.parse_args()
 
     import jax
@@ -105,7 +107,8 @@ def main():
             f, b, output_size=out_size, adaptive_ratio=True
         )
         pal_align = lambda f, b: roi_align_pallas(
-            f, b, output_size=out_size, adaptive_ratio=True
+            f, b, output_size=out_size, adaptive_ratio=True,
+            rois_per_step=args.roi_k,
         )
         t_xla = per_call(xla_align)
         try:
