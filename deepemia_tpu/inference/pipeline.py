@@ -509,19 +509,85 @@ class InferencePipeline:
             # crossing); 4x the long side covers realistic blob complexity
             max_runs = min(h * w // 2 + 1, 4 * max(h, w))
 
-            def program(probs, boxes, valid):
-                def one(args):
-                    p_, b_, v_ = args
-                    m = paste_masks(p_[None], b_[None], h, w, thr)[0] & v_
-                    st, ln, nr = rle_encode_batch_jax(m[None], max_runs=max_runs)
-                    return st[0], ln[0], nr[0]
+            if h * w > 2048 * 2048 and min(h, w) >= 512:
+                # large images: windowed encoder — the full-image program
+                # is O(cap·H·W) with an H·W-element sort per instance,
+                # long enough at 4k²×512 that the device runtime's
+                # execution watchdog kills the worker (ops/rle.py
+                # rle_encode_windowed_jax docstring). Oversized instances
+                # return n_runs=max_runs and take the exact host
+                # re-encode branch below.
+                from deepemia_tpu.ops.rle import rle_encode_windowed_jax
 
-                return jax.lax.map(one, (probs, boxes, valid))
+                def program(probs, boxes, valid):
+                    return rle_encode_windowed_jax(
+                        probs, boxes, valid, (h, w),
+                        max_runs=max_runs, threshold=thr,
+                    )
+
+            else:
+
+                def program(probs, boxes, valid):
+                    def one(args):
+                        p_, b_, v_ = args
+                        m = paste_masks(p_[None], b_[None], h, w, thr)[0] & v_
+                        st, ln, nr = rle_encode_batch_jax(
+                            m[None], max_runs=max_runs
+                        )
+                        return st[0], ln[0], nr[0]
+
+                    return jax.lax.map(one, (probs, boxes, valid))
 
             self._rle_cache[key] = (jax.jit(program), max_runs)
         program, max_runs = self._rle_cache[key]
         starts, lengths, n_runs = program(inst.mask_probs, inst.boxes, inst.valid)
         return starts, lengths, n_runs, max_runs
+
+    def _device_rle_one(self, inst: InstanceSet, i: int, hw):
+        """Exact full-res RLE of ONE instance, on device.
+
+        The fallback for masks the batch program cannot represent (run
+        capacity hit, or bigger than the windowed encoder's window): a
+        single full-image paste + encode per call stays well inside the
+        device runtime's execution watchdog, and only the packed run
+        tensors cross the wire (a full-res bool mask is ~17 MB at 4k —
+        ~0.5 s/instance over a tunneled device). Returns the
+        [start1, len1, ...] list; masks exceeding even the single-instance
+        run capacity (h*w/2 runs — checkerboard-pathological) fall back to
+        the host pull.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from deepemia_tpu.ops.masks import paste_masks
+
+        key = ("rle_one", hw)
+        if not hasattr(self, "_rle_cache"):
+            self._rle_cache = {}
+        if key not in self._rle_cache:
+            h, w = hw
+            thr = self.mask_threshold
+            max_runs_1 = min(h * w // 2 + 1, 16 * max(h, w))
+
+            def program(p, b, v):
+                m = paste_masks(p[None], b[None], h, w, thr)[0] & v
+                return rle_encode_batch_jax(m[None], max_runs=max_runs_1)
+
+            self._rle_cache[key] = (jax.jit(program), max_runs_1)
+        program, max_runs_1 = self._rle_cache[key]
+        h, w = hw
+        st, ln, nr = program(inst.mask_probs[i], inst.boxes[i], inst.valid[i])
+        packed = np.asarray(
+            jnp.concatenate([st[0], ln[0], nr[:1].astype(st.dtype)])
+        )
+        n = int(packed[-1])
+        if n >= max_runs_1:
+            m = self._full_mask_one(inst, i, hw)
+            return rle_encode(m)
+        pairs = np.empty(2 * n, np.int64)
+        pairs[0::2] = packed[:n]
+        pairs[1::2] = packed[max_runs_1 : max_runs_1 + n]
+        return pairs.tolist()
 
     def _full_mask_one(self, inst: InstanceSet, i: int, hw) -> np.ndarray:
         """[H,W] bool for a single instance (exact-RLE fallback path)."""
@@ -749,17 +815,30 @@ class InferencePipeline:
                             for i in kept:
                                 n = int(n_runs[i])
                                 if n >= max_runs:
-                                    # run capacity hit: a truncated RLE would
-                                    # corrupt the CSV row silently — re-encode
-                                    # this mask exactly on the host instead
+                                    # batch-path capacity hit (or the
+                                    # windowed encoder's oversized-instance
+                                    # sentinel): re-encode this ONE mask
+                                    # full-res on device — a single
+                                    # H·W-element sort is fine, it was the
+                                    # ×capacity batch that tripped the
+                                    # runtime watchdog; a full-res host
+                                    # mask pull costs ~0.5 s/instance over
+                                    # a tunneled device
                                     log.info(
-                                        "Mask %d hit the device RLE run "
-                                        "capacity (%d) — exact host re-encode",
+                                        "Mask %d over the device RLE batch "
+                                        "capacity (%d) — single-instance "
+                                        "device re-encode",
                                         i, max_runs,
                                     )
-                                    m = self._full_mask_one(inst, i, hw)
                                     rle_rows.append(
-                                        (name, rle_to_string(rle_encode(m)))
+                                        (
+                                            name,
+                                            rle_to_string(
+                                                self._device_rle_one(
+                                                    inst, i, hw
+                                                )
+                                            ),
+                                        )
                                     )
                                     continue
                                 pairs = np.empty(2 * n, np.int64)

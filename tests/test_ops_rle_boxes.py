@@ -54,6 +54,47 @@ def test_rle_jax_batch_matches_numpy(rng):
         assert got == expect
 
 
+def test_rle_windowed_matches_full(rng):
+    """The windowed encoder (global column-major runs from a per-instance
+    S×S window) must reproduce the full-image paste+encode exactly for
+    window-confined instances, and signal n_runs=max_runs for oversized
+    ones (the pipeline's exact-host fallback)."""
+    from deepemia_tpu.ops.masks import paste_masks
+    from deepemia_tpu.ops.rle import rle_encode_windowed_jax
+
+    h, w = 300, 280
+    s = 64
+    max_runs = 4 * max(h, w)
+    probs = jnp.asarray(rng.random((5, 28, 28)).astype(np.float32))
+    boxes = jnp.asarray(
+        [
+            [10.0, 20.0, 50.0, 62.0],  # interior
+            [0.0, 0.0, 40.0, 30.0],  # image corner
+            [240.0, 250.0, 275.0, 296.0],  # bottom-right edge clamp
+            [5.0, 5.0, 200.0, 150.0],  # oversized -> sentinel
+            [100.0, 100.0, 140.0, 140.0],  # invalid row
+        ],
+        jnp.float32,
+    )
+    valid = jnp.asarray([True, True, True, True, False])
+    st, ln, nr = rle_encode_windowed_jax(
+        probs, boxes, valid, (h, w), max_runs=max_runs, window=s
+    )
+    # oversized + invalid rows
+    assert int(nr[3]) == max_runs
+    assert int(nr[4]) == 0
+    for i in (0, 1, 2):
+        m = np.asarray(
+            paste_masks(probs[i][None], boxes[i][None], h, w, 0.5)[0]
+        )
+        expect = rle_encode(m)
+        n = int(nr[i])
+        got = []
+        for j in range(n):
+            got.extend([int(st[i, j]), int(ln[i, j])])
+        assert got == expect, f"instance {i}"
+
+
 def _naive_iou(a, b):
     out = np.zeros((len(a), len(b)))
     for i, bi in enumerate(a):
