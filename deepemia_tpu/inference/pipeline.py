@@ -669,13 +669,36 @@ class InferencePipeline:
 
     def _full_masks(self, inst: InstanceSet, hw, chunk: int = 32) -> np.ndarray:
         """[K,H,W] bool on host. Pasted in fixed-size chunks so peak device
-        memory stays ~chunk·H·W instead of K·H·W."""
+        memory stays ~chunk·H·W instead of K·H·W, and BIT-PACKED on device
+        before the pull: a bool crosses the wire as a full byte, so packing
+        8 pixels/byte cuts the transfer 8x (512 masks at 1024² are 512 MB
+        raw — ~11 s over a tunneled device, ~1.4 s packed)."""
         import jax
         import jax.numpy as jnp
 
-        paste = self._paste_program(hw)
+        h, w = hw
+        wp = w + (-w) % 8
+        key = ("packpaste", hw, chunk)
+        if not hasattr(self, "_paste_cache"):
+            self._paste_cache = {}
+        if key not in self._paste_cache:
+            from deepemia_tpu.ops.masks import paste_masks
+
+            thr = self.mask_threshold
+            # np.unpackbits bit order: MSB first
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+            def program(p, b, v):
+                m = paste_masks(p, b, h, w, thr) & v[:, None, None]
+                if wp != w:
+                    m = jnp.pad(m, ((0, 0), (0, 0), (0, wp - w)))
+                bits = m.reshape(m.shape[0], h, wp // 8, 8).astype(jnp.uint8)
+                return (bits * weights).sum(-1).astype(jnp.uint8)
+
+            self._paste_cache[key] = jax.jit(program)
+        paste = self._paste_cache[key]
         k = inst.capacity
-        out = np.zeros((k, hw[0], hw[1]), bool)
+        out = np.zeros((k, h, w), bool)
         probs = inst.mask_probs
         boxes = inst.boxes
         valid = inst.valid
@@ -685,7 +708,8 @@ class InferencePipeline:
             p = jnp.pad(probs[s:e], ((0, pad), (0, 0), (0, 0)))
             b = jnp.pad(boxes[s:e], ((0, pad), (0, 0)))
             v = jnp.pad(valid[s:e], (0, pad))
-            out[s:e] = np.asarray(paste(p, b, v))[: e - s]
+            packed = np.asarray(paste(p, b, v))[: e - s]
+            out[s:e] = np.unpackbits(packed, axis=-1)[:, :, :w].astype(bool)
         return out
 
     # ------------------------------------------------------------------
